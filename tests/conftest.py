@@ -1,0 +1,50 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initialises its backends, so this lives at
+the top of conftest (pytest imports conftest before test modules).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env sets axon (tunneled TPU)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The container's sitecustomize registers the axon (remote TPU) PJRT plugin
+# at interpreter start and forces jax_platforms="axon,cpu"; override back to
+# CPU before any backend is initialised so tests run on the virtual 8-device
+# CPU mesh with exact fp32 matmuls.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+def has_reference() -> bool:
+    return REFERENCE.exists()
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="PyTorch reference repo not mounted"
+)
+
+
+def load_reference_module(relpath: str, name: str):
+    """Import a module from the read-only reference checkout by path."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, str(REFERENCE / relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
