@@ -1,0 +1,240 @@
+"""LXMERT parity: JAX model + generators vs the reference's instrumented
+lxmert_lrp.LxmertForQuestionAnswering (torch CPU, random weights).
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import REFERENCE, requires_reference
+
+from transformer_mm_explainability_tpu.models import lxmert as jlx
+from transformer_mm_explainability_tpu.explain import lxmert as expl_lx
+from transformer_mm_explainability_tpu.utils import convert
+
+CFG = jlx.LxmertConfig(
+    vocab_size=60, hidden_size=32, num_attention_heads=4,
+    intermediate_size=48, max_position_embeddings=20,
+    l_layers=3, x_layers=2, r_layers=2,
+    visual_feat_dim=24, visual_pos_dim=4, num_qa_labels=9,
+)
+B, St, Sv = 2, 8, 5
+
+
+def _load_ref_lxmert():
+    """Import reference lxmert_lrp with old-transformers shims."""
+    import importlib
+    import types
+
+    import transformers
+
+    # pre-transformers-4.x module alias used by the reference
+    if "transformers.configuration_lxmert" not in sys.modules:
+        shim = types.ModuleType("transformers.configuration_lxmert")
+        shim.LxmertConfig = transformers.models.lxmert.configuration_lxmert.LxmertConfig
+        sys.modules["transformers.configuration_lxmert"] = shim
+    # old-signature docstring decorators → no-ops (docs only)
+    import transformers.file_utils as fu
+
+    def _noop_decorator(*a, **k):
+        def wrap(fn):
+            return fn
+        return wrap
+
+    fu.add_code_sample_docstrings = _noop_decorator
+    fu.add_start_docstrings = _noop_decorator
+    fu.add_start_docstrings_to_model_forward = _noop_decorator
+    fu.replace_return_docstrings = _noop_decorator
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    return importlib.import_module("lxmert.lxmert.src.lxmert_lrp")
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    import torch
+    from transformers.models.lxmert.configuration_lxmert import LxmertConfig
+
+    mod = _load_ref_lxmert()
+    hf_cfg = LxmertConfig(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        num_attention_heads=CFG.num_attention_heads,
+        intermediate_size=CFG.intermediate_size,
+        max_position_embeddings=CFG.max_position_embeddings,
+        l_layers=CFG.l_layers, x_layers=CFG.x_layers, r_layers=CFG.r_layers,
+        visual_feat_dim=CFG.visual_feat_dim,
+        visual_pos_dim=CFG.visual_pos_dim,
+        num_qa_labels=CFG.num_qa_labels,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(2)
+    model = mod.LxmertForQuestionAnswering(hf_cfg).eval()
+    for p in model.parameters():
+        p.data.add_(0.02 * torch.randn_like(p))
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_params(ref_model):
+    return convert.lxmert_from_state_dict(ref_model.state_dict(), CFG)
+
+
+def make_batch():
+    rng = np.random.RandomState(11)
+    input_ids = rng.randint(1, CFG.vocab_size, (B, St))
+    mask = np.ones((B, St), np.int64)
+    mask[1, 6:] = 0
+    feats = rng.randn(B, Sv, CFG.visual_feat_dim).astype(np.float32)
+    pos = rng.rand(B, Sv, 4).astype(np.float32)
+    return input_ids, mask, feats, pos
+
+
+@pytest.fixture(scope="module")
+def ref_run(ref_model):
+    import torch
+
+    input_ids, mask, feats, pos = make_batch()
+    out = ref_model(
+        input_ids=torch.tensor(input_ids),
+        visual_feats=torch.tensor(feats),
+        visual_pos=torch.tensor(pos),
+        attention_mask=torch.tensor(mask),
+    )
+    scores = out.question_answering_score
+    targets = scores.argmax(-1).detach()
+    score = scores.gather(1, targets[:, None]).sum()
+    ref_model.zero_grad()
+    score.backward(retain_graph=True)
+    return input_ids, mask, feats, pos, scores, targets
+
+
+@requires_reference
+def test_qa_scores_parity(ref_run, jax_params):
+    input_ids, mask, feats, pos, scores, _ = ref_run
+    out = jlx.forward(
+        jax_params, jnp.asarray(input_ids), jnp.asarray(mask),
+        jnp.asarray(feats), jnp.asarray(pos), cfg=CFG,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["qa_scores"]), scores.detach().numpy(), atol=1e-4
+    )
+
+
+@requires_reference
+def test_capture_parity(ref_model, ref_run, jax_params):
+    """All six attention families (A and ∇A) match the reference hooks."""
+    input_ids, mask, feats, pos, _, targets = ref_run
+    batch = {
+        "input_ids": jnp.asarray(input_ids),
+        "attention_mask": jnp.asarray(mask),
+        "visual_feats": jnp.asarray(feats),
+        "visual_pos": jnp.asarray(pos),
+    }
+    _, attn, grads = jlx.capture(jax_params, batch,
+                                 jnp.asarray(targets.numpy()), CFG)
+
+    enc = ref_model.lxmert.encoder
+
+    def chk(got, ref_attn_module, msg):
+        np.testing.assert_allclose(
+            np.asarray(got[0]), ref_attn_module.get_attn().detach().numpy(),
+            atol=1e-5, err_msg=f"{msg} attn")
+        ref_grad = ref_attn_module.get_attn_gradients()
+        if ref_grad is None:
+            # no gradient path to the QA head (e.g. the last x-layer's
+            # visual stream) → torch hook never fires; functional taps
+            # yield exact zeros there
+            np.testing.assert_allclose(
+                np.asarray(got[1]), 0.0, atol=0.0, err_msg=f"{msg} grad")
+        else:
+            np.testing.assert_allclose(
+                np.asarray(got[1]), ref_grad.detach().numpy(),
+                atol=1e-5, err_msg=f"{msg} grad")
+
+    for i, blk in enumerate(enc.layer):
+        chk((attn.lang[i], grads.lang[i]), blk.attention.self, f"lang {i}")
+    for i, blk in enumerate(enc.r_layers):
+        chk((attn.visn[i], grads.visn[i]), blk.attention.self, f"visn {i}")
+    for i, blk in enumerate(enc.x_layers):
+        chk((attn.x_lang_cross[i], grads.x_lang_cross[i]),
+            blk.visual_attention.att, f"x_lang_cross {i}")
+        chk((attn.x_visn_cross[i], grads.x_visn_cross[i]),
+            blk.visual_attention_copy.att, f"x_visn_cross {i}")
+        chk((attn.x_lang_self[i], grads.x_lang_self[i]),
+            blk.lang_self_att.self, f"x_lang_self {i}")
+        chk((attn.x_visn_self[i], grads.x_visn_self[i]),
+            blk.visn_self_att.self, f"x_visn_self {i}")
+
+
+@requires_reference
+def test_generate_ours_parity(ref_model, ref_run, jax_params):
+    """Full bi-modal propagation matches the reference generator run on
+    the reference model's captures (use_lrp=False path)."""
+    gen_mod = __import__("importlib").import_module(
+        "lxmert.lxmert.src.ExplanationGenerator")
+
+    input_ids, mask, feats, pos, _, targets = ref_run
+
+    class Usage:  # minimal model_usage shim for the reference generator
+        model = ref_model
+        text_len = St
+        image_boxes_len = Sv
+
+        @staticmethod
+        def forward(item):
+            import torch
+
+            out = ref_model(
+                input_ids=torch.tensor(input_ids[:1]),
+                visual_feats=torch.tensor(feats[:1]),
+                visual_pos=torch.tensor(pos[:1]),
+                attention_mask=torch.tensor(mask[:1]),
+            )
+            return out
+
+    import torch
+
+    if not torch.cuda.is_available():
+        # reference generator calls .cuda(); route to CPU for the oracle
+        torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore
+
+    ours = gen_mod.GeneratorOurs(Usage)
+    want_tt, want_ti = ours.generate_ours(
+        None, index=int(targets[0]), use_lrp=False)
+
+    batch = {
+        "input_ids": jnp.asarray(input_ids[:1]),
+        "attention_mask": jnp.asarray(mask[:1]),
+        "visual_feats": jnp.asarray(feats[:1]),
+        "visual_pos": jnp.asarray(pos[:1]),
+    }
+    _, attn, grads = jlx.capture(jax_params, batch,
+                                 jnp.asarray(targets.numpy()[:1]), CFG)
+    got_tt, got_ti = expl_lx.generate_ours(attn, grads)
+    np.testing.assert_allclose(np.asarray(got_tt[0]),
+                               want_tt.detach().numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_ti[0]),
+                               want_ti.detach().numpy(), atol=1e-4)
+
+
+def test_baseline_shapes(jax_params):
+    input_ids, mask, feats, pos = make_batch()
+    batch = {
+        "input_ids": jnp.asarray(input_ids),
+        "attention_mask": jnp.asarray(mask),
+        "visual_feats": jnp.asarray(feats),
+        "visual_pos": jnp.asarray(pos),
+    }
+    scores, attn, grads = jlx.capture(jax_params, batch,
+                                      jnp.zeros((B,), jnp.int32), CFG)
+    assert scores.shape == (B, CFG.num_qa_labels)
+    for tt, ti in (expl_lx.generate_raw_attn(attn),
+                   expl_lx.generate_attn_gradcam(attn, grads),
+                   expl_lx.generate_rollout(attn),
+                   expl_lx.generate_ours_no_agg(attn, grads)):
+        assert tt.shape == (B, St, St)
+        assert ti.shape == (B, St, Sv)
+        assert np.isfinite(np.asarray(ti)).all()

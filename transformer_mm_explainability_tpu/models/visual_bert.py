@@ -1,0 +1,173 @@
+"""VisualBERT (single-stream vision-language BERT) with attention capture.
+
+Re-implements the behaviour of MMF's ``visual_bert`` model
+(VisualBERT/mmf/models/visual_bert.py:34-403):
+
+  * visio-linguistic embeddings: text (word+pos+type) concatenated with
+    projected visual features (+ visual type/pos embeddings), shared
+    LayerNorm (mmf/modules/embeddings.py:305-458);
+  * 12-layer BERT encoder with -10000 additive padding mask;
+  * VQA classification head: pool at token ``input_mask.sum(1) - 2``
+    (the ``?`` token acts as CLS, visual_bert.py:383-393), then
+    BertPredictionHeadTransform (dense+gelu+LN) + classifier Linear.
+
+Static-shape design: text length and number of visual features are
+padded to fixed sizes; ``input_mask`` carries validity (the reference
+already runs fixed 128-token text + 100-box features from LMDB).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_mm_explainability_tpu.models import bert
+from transformer_mm_explainability_tpu.ops.attention import gelu, layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class VisualBERTConfig:
+    bert: bert.BertConfig = bert.BERT_BASE
+    visual_embedding_dim: int = 2048
+    num_labels: int = 3129  # VQA2 answer vocabulary
+    pooler_strategy: str = "vqa"  # "vqa" | "default"
+
+
+VISUAL_BERT_VQA2 = VisualBERTConfig()
+
+
+def init_params(key: jax.Array, cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+                dtype: jnp.dtype = jnp.float32) -> Dict[str, Any]:
+    D = cfg.bert.hidden_size
+    ks = jax.random.split(key, 8)
+    nrm = lambda k, shape: (jax.random.normal(k, shape) * 0.02).astype(dtype)
+    zeros = lambda shape: jnp.zeros(shape, dtype)
+    ones = lambda shape: jnp.ones(shape, dtype)
+    return {
+        "embeddings": bert.init_embedding_params(ks[0], cfg.bert, dtype),
+        "visual": {
+            "projection": {
+                "w": nrm(ks[1], (cfg.visual_embedding_dim, D)),
+                "b": zeros((D,)),
+            },
+            "token_type": nrm(ks[2], (cfg.bert.type_vocab_size, D)),
+            "position": nrm(ks[3], (cfg.bert.max_position_embeddings, D)),
+        },
+        "encoder": bert.init_encoder_params(ks[4], cfg.bert, dtype),
+        "pooler": {"w": nrm(ks[5], (D, D)), "b": zeros((D,))},
+        "head": {
+            "transform": {
+                "w": nrm(ks[6], (D, D)), "b": zeros((D,)),
+                "ln": {"scale": ones((D,)), "bias": zeros((D,))},
+            },
+            "classifier": {"w": nrm(ks[7], (D, cfg.num_labels)),
+                           "b": zeros((cfg.num_labels,))},
+        },
+    }
+
+
+def embed(
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,
+    token_type_ids: Optional[jnp.ndarray],
+    visual_embeddings: Optional[jnp.ndarray],
+    visual_embeddings_type: Optional[jnp.ndarray],
+    cfg: VisualBERTConfig,
+) -> jnp.ndarray:
+    """Concatenated text+visual embeddings with shared LayerNorm."""
+    text = bert.text_embeddings(params["embeddings"], input_ids, token_type_ids)
+    if visual_embeddings is not None:
+        v = params["visual"]
+        ve = visual_embeddings @ v["projection"]["w"] + v["projection"]["b"]
+        if visual_embeddings_type is None:
+            visual_embeddings_type = jnp.zeros(
+                visual_embeddings.shape[:2], jnp.int32
+            )
+        ve = ve + v["token_type"][visual_embeddings_type]
+        # image_text_alignment=None path: visual position embedding is the
+        # row-0 embedding for every box (embeddings.py:410-417)
+        ve = ve + v["position"][0]
+        x = jnp.concatenate([text, ve], axis=1)
+    else:
+        x = text
+    ln = params["embeddings"]["ln"]
+    return layer_norm(x, ln["scale"], ln["bias"], cfg.bert.layer_norm_eps)
+
+
+def forward(
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,
+    input_mask: jnp.ndarray,
+    visual_embeddings: Optional[jnp.ndarray] = None,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    visual_embeddings_type: Optional[jnp.ndarray] = None,
+    visual_mask: Optional[jnp.ndarray] = None,
+    cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+    taps: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Returns {"scores": [B, num_labels], "attn": [L, B, H, S, S],
+    "sequence_output": [B, S, D]}.
+
+    ``input_mask``: [B, S_text] text validity; ``visual_mask``: [B, N_v]
+    box validity (defaults to all-ones, matching the reference which
+    attends to all 100 padded feature rows unless masked).
+    """
+    x = embed(params, input_ids, token_type_ids, visual_embeddings,
+              visual_embeddings_type, cfg)
+    if visual_embeddings is not None:
+        if visual_mask is None:
+            visual_mask = jnp.ones(visual_embeddings.shape[:2], input_mask.dtype)
+        full_mask = jnp.concatenate([input_mask, visual_mask], axis=1)
+    else:
+        full_mask = input_mask
+    mask = bert.extended_attention_mask(full_mask, x.dtype)
+    hidden, attn = bert.encoder(params["encoder"], x, cfg.bert, mask, taps)
+
+    if cfg.pooler_strategy == "vqa":
+        idx = input_mask.sum(axis=1) - 2  # the '?' token (visual_bert.py:383)
+        pooled = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+    else:
+        pooled = jnp.tanh(
+            hidden[:, 0] @ params["pooler"]["w"] + params["pooler"]["b"]
+        )
+    t = params["head"]["transform"]
+    h = gelu(pooled @ t["w"] + t["b"])
+    h = layer_norm(h, t["ln"]["scale"], t["ln"]["bias"], cfg.bert.layer_norm_eps)
+    c = params["head"]["classifier"]
+    scores = h @ c["w"] + c["b"]
+    return {"scores": scores, "attn": attn, "sequence_output": hidden}
+
+
+def capture(
+    params: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    targets: jnp.ndarray,
+    cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fwd+bwd: (scores, A, ∇A). ``targets``: [B] answer indices."""
+    B, S_t = batch["input_ids"].shape
+    N_v = batch["visual_embeddings"].shape[1] if batch.get(
+        "visual_embeddings") is not None else 0
+    S = S_t + N_v
+    shape = (cfg.bert.num_hidden_layers, B, cfg.bert.num_attention_heads, S, S)
+
+    def score_fn(taps):
+        out = forward(
+            params,
+            batch["input_ids"], batch["input_mask"],
+            batch.get("visual_embeddings"),
+            batch.get("token_type_ids"),
+            batch.get("visual_embeddings_type"),
+            batch.get("visual_mask"),
+            cfg, taps,
+        )
+        s = jnp.take_along_axis(out["scores"], targets[:, None], axis=1).sum()
+        return s, out
+
+    grads, out = jax.grad(score_fn, has_aux=True)(
+        jnp.zeros(shape, jnp.float32)
+    )
+    return out["scores"], out["attn"], grads

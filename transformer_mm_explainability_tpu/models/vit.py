@@ -1,0 +1,199 @@
+"""ViT-B/16 (timm ``vit_base_patch16_224`` architecture) with functional
+attention capture.
+
+The reference's ViT workload (Transformer_MM_explainability_ViT.ipynb)
+imports ``baselines.ViT.ViT_new.vit_base_patch16_224`` from the sibling
+Transformer-Explainability repo — a timm-style pre-LN ViT whose attention
+modules record A and ∇A via hooks (SURVEY.md §1 "external dependency").
+This module defines that model natively in JAX:
+
+  * patchify = conv as a single reshaped matmul (MXU-friendly),
+  * blocks stacked along a leading layer axis and driven by ``lax.scan``
+    (one traced block → fast compiles, perfect layout reuse),
+  * attention probabilities captured functionally via additive taps
+    (see ops/attention.py).
+
+``vit_relevancy`` computes the notebook's ``generate_relevance``
+(cell 7: one fwd, one bwd, then R += Ê_l R over the 12 blocks) as a
+single jitted XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_mm_explainability_tpu.ops.attention import (
+    AttentionParams,
+    gelu,
+    layer_norm,
+    multi_head_self_attention,
+)
+from transformer_mm_explainability_tpu.ops import relevancy as rl
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    num_classes: int = 1000
+    ln_eps: float = 1e-6
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1  # patches + CLS
+
+
+VIT_B_16 = ViTConfig()
+
+
+def init_params(key: jax.Array, cfg: ViTConfig = VIT_B_16,
+                dtype: jnp.dtype = jnp.float32) -> Dict[str, Any]:
+    """Random init (trunc-normal-ish); real weights come from the
+    torch→jax converter (utils/convert.py)."""
+    D, L, P = cfg.width, cfg.depth, cfg.patch_size
+    Dm = cfg.mlp_ratio * D
+    ks = jax.random.split(key, 12)
+
+    def nrm(k, shape, s=0.02):
+        return (jax.random.normal(k, shape) * s).astype(dtype)
+
+    zeros = lambda shape: jnp.zeros(shape, dtype)
+    ones = lambda shape: jnp.ones(shape, dtype)
+    return {
+        "patch_embed": {"w": nrm(ks[0], (P * P * 3, D)), "b": zeros((D,))},
+        "cls_token": nrm(ks[1], (1, D)),
+        "pos_embed": nrm(ks[2], (cfg.seq_len, D)),
+        "blocks": {
+            "ln1": {"scale": ones((L, D)), "bias": zeros((L, D))},
+            "attn": AttentionParams(
+                w_qkv=nrm(ks[3], (L, D, 3 * D)),
+                b_qkv=zeros((L, 3 * D)),
+                w_out=nrm(ks[4], (L, D, D)),
+                b_out=zeros((L, D)),
+            ),
+            "ln2": {"scale": ones((L, D)), "bias": zeros((L, D))},
+            "mlp": {
+                "w1": nrm(ks[5], (L, D, Dm)), "b1": zeros((L, Dm)),
+                "w2": nrm(ks[6], (L, Dm, D)), "b2": zeros((L, D)),
+            },
+        },
+        "norm": {"scale": ones((D,)), "bias": zeros((D,))},
+        "head": {"w": nrm(ks[7], (D, cfg.num_classes)),
+                 "b": zeros((cfg.num_classes,))},
+    }
+
+
+def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[B, H, W, 3] -> [B, N_patches, P*P*3].
+
+    Equivalent to the stride-P conv patch embed, expressed as a reshape +
+    matmul so XLA maps it straight onto the MXU.
+    """
+    B, H, W, C = images.shape
+    P = patch_size
+    x = images.reshape(B, H // P, P, W // P, P, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, gh, gw, P, P, C
+    return x.reshape(B, (H // P) * (W // P), P * P * C)
+
+
+def forward(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+    taps: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ViT forward. images: [B, H, W, 3] (already normalised).
+
+    ``taps``: optional [L, B, H, S, S] additive attention-probability
+    taps (zeros for capture). Returns ``(logits [B, C],
+    attn_probs [L, B, H, S, S])``.
+    """
+    B = images.shape[0]
+    x = patchify(images, cfg.patch_size) @ params["patch_embed"]["w"]
+    x = x + params["patch_embed"]["b"]
+    cls = jnp.broadcast_to(params["cls_token"], (B, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+
+    if taps is None:
+        taps = jnp.zeros(
+            (cfg.depth, B, cfg.num_heads, cfg.seq_len, cfg.seq_len), x.dtype
+        )
+
+    def block(x, layer):
+        p, tap = layer
+        h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
+        attn_out, probs = multi_head_self_attention(
+            p["attn"], h, cfg.num_heads, tap=tap
+        )
+        x = x + attn_out
+        h = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
+        h = gelu(h @ p["mlp"]["w1"] + p["mlp"]["b1"])
+        h = h @ p["mlp"]["w2"] + p["mlp"]["b2"]
+        return x + h, probs
+
+    x, attn = jax.lax.scan(block, x, (params["blocks"], taps))
+    x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"], cfg.ln_eps)
+    logits = x[:, 0] @ params["head"]["w"] + params["head"]["b"]
+    return logits, attn
+
+
+def capture(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    targets: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused fwd+bwd: returns (logits, A, ∇A), each [L, B, H, S, S]
+    for A/∇A. ``targets``: [B] int class indices (the explained logits).
+
+    The scalar differentiated is Σ_b logits[b, targets[b]] — per-example
+    gradients stay independent, so this batches the reference's
+    ``one_hot.backward(retain_graph=True)`` over B images in one pass.
+    """
+    B = images.shape[0]
+    shape = (cfg.depth, B, cfg.num_heads, cfg.seq_len, cfg.seq_len)
+
+    def score_fn(taps):
+        logits, attn = forward(params, images, cfg, taps)
+        score = jnp.take_along_axis(logits, targets[:, None], axis=1).sum()
+        return score, (logits, attn)
+
+    grads, (logits, attn) = jax.grad(score_fn, has_aux=True)(
+        jnp.zeros(shape, images.dtype)
+    )
+    return logits, attn, grads
+
+
+def relevancy(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    targets: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+    start_layer: int = 0,
+) -> jnp.ndarray:
+    """The ViT notebook's ``generate_relevance``: per-image [S-1] patch
+    relevancy (CLS row minus the CLS entry), batched.
+
+    ViT notebook cell 7: R = I; per block R += avg_heads(A, ∇A) @ R;
+    return R[0, 1:].
+    """
+    _, attn, grads = capture(params, images, targets, cfg)
+    # [L, B, H, S, S] -> batch-first for vmap
+    attn_b = jnp.moveaxis(attn, 1, 0)
+    grads_b = jnp.moveaxis(grads, 1, 0)
+    R = jax.vmap(
+        lambda a, g: rl.self_attention_relevancy(a, g, start_layer=start_layer)
+    )(attn_b, grads_b)
+    return R[:, 0, 1:]

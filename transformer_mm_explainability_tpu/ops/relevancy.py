@@ -30,7 +30,6 @@ max-abs deviation < 1e-4.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -150,7 +149,6 @@ def compute_rollout_attention(
     return joint
 
 
-@functools.partial(jax.jit, static_argnames=("start_layer",))
 def self_attention_relevancy(
     cams: jnp.ndarray,
     grads: jnp.ndarray,
