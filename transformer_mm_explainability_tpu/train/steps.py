@@ -1,0 +1,94 @@
+"""Jittable training steps (classification fine-tune) for the model zoo.
+
+The reference's training loops (MMF TrainerTrainingLoopMixin with AMP +
+grad accumulation, DETR train_one_epoch, lxmert tasks/vqa.py) reduce on
+TPU to one jitted step over a sharded mesh: forward, loss, grad, optax
+update. Gradient all-reduce over the ``dp`` axis and tensor-parallel
+collectives over ``tp`` are inserted by XLA from the input shardings
+(parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_adamw(learning_rate: float = 5e-5, weight_decay: float = 1e-4,
+               warmup_steps: int = 0, total_steps: int = 10000,
+               grad_clip: float = 0.0) -> optax.GradientTransformation:
+    """AdamW with linear warmup — the reference's optimizer family
+    (VQA2 config: AdamW 5e-5 warmup 6000; DETR: AdamW + StepLR)."""
+    if warmup_steps > 0:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, total_steps)
+    else:
+        sched = learning_rate
+    txs = []
+    if grad_clip > 0:
+        txs.append(optax.clip_by_global_norm(grad_clip))
+    txs.append(optax.adamw(sched, weight_decay=weight_decay))
+    return optax.chain(*txs)
+
+
+def init_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def softmax_xent(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels).mean()
+
+
+def soft_target_bce(scores: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """VQA soft-label binary cross-entropy (MMF's logit_bce — the VQA2
+    training loss), mean over batch, summed over answers."""
+    logp = jax.nn.log_sigmoid(scores)
+    lognp = jax.nn.log_sigmoid(-scores)
+    return -(targets * logp + (1 - targets) * lognp).sum(-1).mean()
+
+
+def make_train_step(
+    loss_fn: Callable[[Any, Dict[str, jnp.ndarray]], jnp.ndarray],
+    tx: optax.GradientTransformation,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, jnp.ndarray]]:
+    """Build a jittable (state, batch) -> (state, loss) step."""
+
+    def step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def make_accum_train_step(loss_fn, tx, accum_steps: int):
+    """Gradient-accumulation variant (reference: MMF ``update_frequency``,
+    training_loop.py:77-107). ``batch`` gains a leading [accum_steps]
+    axis scanned in one jitted program."""
+
+    def step(state: TrainState, batches):
+        def micro(carry, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+            acc = jax.tree_util.tree_map(jnp.add, carry[0], grads)
+            return (acc, carry[1] + loss), None
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (grads, loss), _ = jax.lax.scan(micro, (zero, 0.0), batches)
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss / accum_steps
+
+    return step
