@@ -1,0 +1,164 @@
+"""DETR explanation generators (encoder-decoder relevancy).
+
+Reference: DETR/modules/ExplanationGenerator.py.
+
+``generate_ours`` (:142-195, use_lrp=False path):
+  R_ii = I; 6 encoder layers: R_ii += Ê R_ii
+  R_qq = I, R_qi = 0; per decoder layer: rules 6+7 on the query
+  self-attention, then rule 10 (with NaN→0 guard, :42) on the
+  cross-attention; output row R_qi[target_query].
+
+The reference re-runs a full fwd+bwd per kept detection (SURVEY.md
+§3.3 "HOT INNER LOOP"); here all K explained queries are batched into
+one jitted fwd+bwd by replicating the image along the batch axis with
+per-element one-hots — K relevancy maps per XLA dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_mm_explainability_tpu.models import detr as detr_model
+from transformer_mm_explainability_tpu.models.detr import DETRTaps
+from transformer_mm_explainability_tpu.ops import relevancy as rl
+
+
+def _avg(cam, grad):
+    return jnp.maximum(grad * cam, 0.0).mean(axis=0)
+
+
+def relevancy_from_capture(
+    attn: DETRTaps, grads: DETRTaps,
+    normalize_self_attention: bool = True,
+    apply_self_in_rule_10: bool = True,
+    aggregate: bool = True,
+) -> jnp.ndarray:
+    """Per-example propagation → full R_q_i [Q, S]. attn/grads leaves
+    are per-example ([L, H, ...])."""
+    S = attn.enc_self.shape[-1]
+    Q = attn.dec_self.shape[-1]
+    dt = attn.enc_self.dtype
+
+    def enc_step(R_ii, x):
+        cam, grad = x
+        add = _avg(cam, grad) @ R_ii
+        return (R_ii + add if aggregate else add), None
+
+    R_ii, _ = jax.lax.scan(enc_step, jnp.eye(S, dtype=dt),
+                           (attn.enc_self, grads.enc_self))
+
+    def dec_step(carry, x):
+        R_qq, R_qi = carry
+        (c_s, g_s), (c_x, g_x) = x
+        e = _avg(c_s, g_s)
+        add_qq, add_qi = rl.apply_self_attention_rules(R_qq, R_qi, e)
+        if aggregate:
+            R_qq, R_qi = R_qq + add_qq, R_qi + add_qi
+        else:
+            R_qq, R_qi = add_qq, add_qi
+        cam_qi = _avg(c_x, g_x)
+        add_qi, _ = rl.apply_mm_attention_rules(
+            R_qq, R_ii, cam_qi,
+            apply_normalization=normalize_self_attention,
+            apply_self_in_rule_10=apply_self_in_rule_10,
+            nan_to_zero=True,
+        )
+        R_qi = (R_qi + add_qi) if aggregate else add_qi
+        return (R_qq, R_qi), None
+
+    (R_qq, R_qi), _ = jax.lax.scan(
+        dec_step,
+        (jnp.eye(Q, dtype=dt), jnp.zeros((Q, S), dt)),
+        ((attn.dec_self, grads.dec_self), (attn.dec_cross, grads.dec_cross)),
+    )
+    return R_qi
+
+
+def _per_example(attn: DETRTaps, grads: DETRTaps, fn):
+    batchify = lambda t: DETRTaps(*(jnp.moveaxis(a, 1, 0) for a in t))
+    return jax.vmap(fn)(batchify(attn), batchify(grads))
+
+
+def generate_ours(
+    params: Dict[str, Any],
+    image: jnp.ndarray,                 # [H, W, 3]
+    target_queries: jnp.ndarray,        # [K] query indices
+    target_classes: jnp.ndarray,        # [K] class indices
+    cfg: detr_model.DETRConfig = detr_model.DETR_R50,
+    pad_valid: Optional[jnp.ndarray] = None,  # [H, W] 1=valid
+    normalize_self_attention: bool = True,
+    apply_self_in_rule_10: bool = True,
+) -> jnp.ndarray:
+    """K relevancy rows [K, S] in one batched fwd+bwd."""
+    K = target_queries.shape[0]
+    images = jnp.broadcast_to(image[None], (K,) + image.shape)
+    one_hot = jax.nn.one_hot(target_classes, cfg.num_classes + 1)
+    oh = jnp.zeros((K, cfg.num_queries, cfg.num_classes + 1))
+    oh = oh.at[jnp.arange(K), target_queries].set(one_hot)
+    masks = (None if pad_valid is None
+             else jnp.broadcast_to(pad_valid[None], (K,) + pad_valid.shape))
+    _, attn, grads = detr_model.capture(params, images, oh, masks, cfg)
+    R_qi = _per_example(
+        attn, grads,
+        lambda a, g: relevancy_from_capture(
+            a, g, normalize_self_attention, apply_self_in_rule_10))
+    return jnp.take_along_axis(R_qi, target_queries[:, None, None],
+                               axis=1)[:, 0]
+
+
+def generate_ours_no_agg(params, image, target_queries, target_classes,
+                         cfg=detr_model.DETR_R50, pad_valid=None,
+                         normalize_self_attention: bool = False):
+    """Ablation: overwrite instead of aggregate
+    (GeneratorAlbationNoAgg, ExplanationGenerator.py:310-403)."""
+    K = target_queries.shape[0]
+    images = jnp.broadcast_to(image[None], (K,) + image.shape)
+    one_hot = jax.nn.one_hot(target_classes, cfg.num_classes + 1)
+    oh = jnp.zeros((K, cfg.num_queries, cfg.num_classes + 1))
+    oh = oh.at[jnp.arange(K), target_queries].set(one_hot)
+    masks = (None if pad_valid is None
+             else jnp.broadcast_to(pad_valid[None], (K,) + pad_valid.shape))
+    _, attn, grads = detr_model.capture(params, images, oh, masks, cfg)
+    R_qi = _per_example(
+        attn, grads,
+        lambda a, g: relevancy_from_capture(
+            a, g, normalize_self_attention, True, aggregate=False))
+    return jnp.take_along_axis(R_qi, target_queries[:, None, None],
+                               axis=1)[:, 0]
+
+
+# --- capture-only baselines (one fwd, optional one bwd) -------------------
+
+def generate_raw_attn(attn: DETRTaps, target_queries: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Head-mean of the last decoder cross-attention (:226-238)."""
+    cam = attn.dec_cross[-1].mean(axis=1)  # [B, Q, S]
+    return jnp.take_along_axis(cam, target_queries[:, None, None],
+                               axis=1)[:, 0]
+
+
+def generate_attn_gradcam(attn: DETRTaps, grads: DETRTaps,
+                          target_queries: jnp.ndarray) -> jnp.ndarray:
+    """GradCAM on the last decoder cross-attention (:282-305)."""
+    cam = jax.vmap(rl.grad_cam)(attn.dec_cross[-1], grads.dec_cross[-1])
+    return jnp.take_along_axis(cam, target_queries[:, None, None],
+                               axis=1)[:, 0]
+
+
+def generate_rollout(attn: DETRTaps, target_queries: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Rollout baseline (:240-273): separate image/query rollouts bridged
+    by the last cross-attention head-mean."""
+    def per_example(a: DETRTaps):
+        R_ii = rl.compute_rollout_attention(a.enc_self.mean(axis=1))
+        R_qq = rl.compute_rollout_attention(a.dec_self.mean(axis=1))
+        cam_qi = a.dec_cross[-1].mean(axis=0)
+        return R_qq.T @ (cam_qi @ R_ii)
+
+    batchify = lambda t: DETRTaps(*(jnp.moveaxis(x, 1, 0) for x in t))
+    R_qi = jax.vmap(per_example)(batchify(attn))
+    return jnp.take_along_axis(R_qi, target_queries[:, None, None],
+                               axis=1)[:, 0]

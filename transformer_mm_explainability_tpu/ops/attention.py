@@ -123,12 +123,16 @@ def multi_head_cross_attention(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     tap: Optional[jnp.ndarray] = None,
+    x_v: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Separate-projection attention; covers both self (x_q is x_kv) and
-    cross-modal attention. Returns (out, probs)."""
+    """Separate-projection attention; covers self (x_q is x_kv), cross-
+    modal, and DETR's positional-embedding pattern where keys carry the
+    pos embed but values do not (``x_v``). Returns (out, probs)."""
+    if x_v is None:
+        x_v = x_kv
     q = _split_heads(x_q @ params.w_q + params.b_q, num_heads)
     k = _split_heads(x_kv @ params.w_k + params.b_k, num_heads)
-    v = _split_heads(x_kv @ params.w_v + params.b_v, num_heads)
+    v = _split_heads(x_v @ params.w_v + params.b_v, num_heads)
     out, probs = attention_core(q, k, v, mask=mask, tap=tap)
     out = _merge_heads(out) @ params.w_out + params.b_out
     return out, probs
