@@ -68,7 +68,15 @@ def _load_ref_transformer():
         sys.modules["torchvision.models._utils"] = mutils
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
-    return importlib.import_module("DETR.models.transformer")
+    mod = importlib.import_module("DETR.models.transformer")
+    # drop the shim so transformers' torchvision availability probe in
+    # other test modules doesn't pick up the fake package
+    for name in list(sys.modules):
+        if name == "torchvision" or name.startswith("torchvision."):
+            if isinstance(sys.modules[name], types.ModuleType) and not hasattr(
+                    sys.modules[name], "__file__"):
+                del sys.modules[name]
+    return mod
 
 
 def _attn_from_torch(mha) -> CrossAttentionParams:
