@@ -178,6 +178,61 @@ def generate_attn_gradcam(attn: LxmertTaps, grads: LxmertTaps
     return R_t_t, R_t_i
 
 
+def generate_ours_lrp(cams: LxmertTaps, grads: LxmertTaps,
+                      normalize_self_attention: bool = True,
+                      apply_self_in_rule_10: bool = True
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """'ours' with use_lrp=True: identical propagation but Ê is built
+    from the relprop cams instead of raw attention probabilities
+    (ExplanationGenerator.py:64-67 et al.). ``cams`` comes from
+    models.lxmert_lrp.relprop."""
+    return generate_ours(cams, grads, normalize_self_attention,
+                         apply_self_in_rule_10)
+
+
+def _minmax(x):
+    lo = x.min(axis=(-2, -1), keepdims=True)
+    hi = x.max(axis=(-2, -1), keepdims=True)
+    return (x - lo) / (hi - lo)
+
+
+def generate_partial_lrp(cams: LxmertTaps) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Head-mean of the last x-layer's LRP cams, min-max normalised
+    (ExplanationGenerator.py:462-506)."""
+    R_t_i = _minmax(cams.x_lang_cross[-1].mean(axis=1))
+    R_t_t = _minmax(cams.x_lang_self[-1].mean(axis=1))
+    R_t_t = R_t_t.at[:, 0, 0].set(0.0)
+    return R_t_t, R_t_i
+
+
+def generate_transformer_att(cams: LxmertTaps, grads: LxmertTaps
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chefer-2020 transformer-attribution baseline
+    (ExplanationGenerator.py:373-460): grad⊙LRP-cam rollout per stream
+    (NO cross-modal coupling), bridged by the last x-layer's cross cam.
+    """
+    def per_example(c: LxmertTaps, g: LxmertTaps):
+        St = c.lang.shape[-1]
+        R_t_t = jnp.eye(St, dtype=c.lang.dtype)
+
+        def step(R, x):
+            cam, grad = x
+            return R + _avg(cam, grad) @ R, None
+
+        # lang: 9 self layers + x-layers[:-1] lang self
+        lang_chain = (jnp.concatenate([c.lang, c.x_lang_self[:-1]], axis=0),
+                      jnp.concatenate([g.lang, g.x_lang_self[:-1]], axis=0))
+        R_t_t, _ = jax.lax.scan(step, R_t_t, lang_chain)
+        R_t_i = _avg(c.x_lang_cross[-1], g.x_lang_cross[-1])
+        # last x-layer lang self
+        R_t_t = R_t_t + _avg(c.x_lang_self[-1], g.x_lang_self[-1]) @ R_t_t
+        R_t_t = R_t_t.at[0, 0].set(0.0)
+        return R_t_t, R_t_i
+
+    batchify = lambda taps: LxmertTaps(*(jnp.moveaxis(x, 1, 0) for x in taps))
+    return jax.vmap(per_example)(batchify(cams), batchify(grads))
+
+
 def generate_rollout(attn: LxmertTaps) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rollout baseline (:595-666): separate text/image rollouts over
     [self stacks + per-x self layers], bridged by the last cross cam."""

@@ -92,11 +92,14 @@ def encoder(
     cfg: BertConfig,
     mask: Optional[jnp.ndarray] = None,
     taps: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_tape: bool = False,
+):
     """Post-LN BERT encoder over stacked layers.
 
     hidden: [B, S, D]; mask: additive [B, 1, 1, S]; taps [L, B, H, S, S].
-    Returns (hidden, attn_probs [L, B, H, S, S]).
+    Returns (hidden, attn_probs [L, B, H, S, S]) — plus the per-layer
+    input tape [L, B, S, D] when ``return_tape`` (used by the LRP
+    reverse pass, which rematerialises layer internals from it).
     """
     B, S, D = hidden.shape
     if taps is None:
@@ -110,17 +113,21 @@ def encoder(
         attn_out, probs = multi_head_self_attention(
             p["attn"], x, cfg.num_attention_heads, mask=mask, tap=tap
         )
+        x_in = x
         x = layer_norm(x + attn_out, p["attn_ln"]["scale"],
                        p["attn_ln"]["bias"], cfg.layer_norm_eps)
         h = gelu(x @ p["mlp"]["w1"] + p["mlp"]["b1"])
         h = h @ p["mlp"]["w2"] + p["mlp"]["b2"]
         x = layer_norm(x + h, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"],
                        cfg.layer_norm_eps)
-        return x, probs
+        return x, (probs, x_in)
 
     # split stacked layer params from (possibly shared) taps
     stacked = {k: params[k] for k in ("attn", "attn_ln", "mlp", "mlp_ln")}
-    return jax.lax.scan(layer, hidden, (stacked, taps))
+    hidden, (probs, tape) = jax.lax.scan(layer, hidden, (stacked, taps))
+    if return_tape:
+        return hidden, probs, tape
+    return hidden, probs
 
 
 def text_embeddings(

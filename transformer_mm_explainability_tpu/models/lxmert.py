@@ -203,9 +203,11 @@ def forward(
     visual_mask: Optional[jnp.ndarray] = None,
     cfg: LxmertConfig = LXMERT_VQA,
     taps: Optional[LxmertTaps] = None,
+    return_tape: bool = False,
 ) -> Dict[str, Any]:
     """Returns {"qa_scores": [B, A], "attn": LxmertTaps of probs,
-    "lang_output", "visn_output", "pooled"}.
+    "lang_output", "visn_output", "pooled"} (+ "tape" with per-layer
+    inputs for the LRP reverse pass when ``return_tape``).
     """
     B, St = input_ids.shape
     Sv = visual_feats.shape[1]
@@ -231,12 +233,13 @@ def forward(
                  else bert.extended_attention_mask(visual_mask, lang.dtype))
 
     # --- language + relational single-modality stacks ---------------------
-    lang, lang_attn = bert.encoder(
-        params["lang_layers"], lang, cfg.bert, lang_mask, taps.lang)
-    visn, visn_attn = bert.encoder(
+    lang, lang_attn, lang_tape = bert.encoder(
+        params["lang_layers"], lang, cfg.bert, lang_mask, taps.lang,
+        return_tape=True)
+    visn, visn_attn, visn_tape = bert.encoder(
         params["visn_layers"], visn,
         dataclasses.replace(cfg.bert, num_hidden_layers=cfg.r_layers),
-        visn_mask, taps.visn)
+        visn_mask, taps.visn, return_tape=True)
 
     # --- cross-modality layers (scan) -------------------------------------
     def x_layer(carry, inputs):
@@ -258,9 +261,10 @@ def forward(
         # FFNs
         lang3 = _ffn_block(p["lang_ffn"], lang2, eps)
         visn3 = _ffn_block(p["visn_ffn"], visn2, eps)
-        return (lang3, visn3), (probs_lc, probs_vc, probs_ls, probs_vs)
+        return ((lang3, visn3),
+                (probs_lc, probs_vc, probs_ls, probs_vs, (lang, visn)))
 
-    (lang, visn), (x_lc, x_vc, x_ls, x_vs) = jax.lax.scan(
+    (lang, visn), (x_lc, x_vc, x_ls, x_vs, x_tape) = jax.lax.scan(
         x_layer, (lang, visn),
         (params["x_layers"], taps.x_lang_cross, taps.x_visn_cross,
          taps.x_lang_self, taps.x_visn_self),
@@ -274,8 +278,13 @@ def forward(
 
     attn = LxmertTaps(lang=lang_attn, visn=visn_attn, x_lang_cross=x_lc,
                       x_visn_cross=x_vc, x_lang_self=x_ls, x_visn_self=x_vs)
-    return {"qa_scores": qa_scores, "attn": attn,
-            "lang_output": lang, "visn_output": visn, "pooled": pooled}
+    out = {"qa_scores": qa_scores, "attn": attn,
+           "lang_output": lang, "visn_output": visn, "pooled": pooled}
+    if return_tape:
+        out["tape"] = {"lang": lang_tape, "visn": visn_tape, "x": x_tape,
+                       "lang_final": lang, "visn_final": visn,
+                       "lang_mask": lang_mask, "visn_mask": visn_mask}
+    return out
 
 
 def capture(

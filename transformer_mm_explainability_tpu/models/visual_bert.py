@@ -107,6 +107,7 @@ def forward(
     visual_mask: Optional[jnp.ndarray] = None,
     cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
     taps: Optional[jnp.ndarray] = None,
+    return_tape: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Returns {"scores": [B, num_labels], "attn": [L, B, H, S, S],
     "sequence_output": [B, S, D]}.
@@ -124,7 +125,8 @@ def forward(
     else:
         full_mask = input_mask
     mask = bert.extended_attention_mask(full_mask, x.dtype)
-    hidden, attn = bert.encoder(params["encoder"], x, cfg.bert, mask, taps)
+    hidden, attn, tape = bert.encoder(params["encoder"], x, cfg.bert, mask,
+                                      taps, return_tape=True)
 
     if cfg.pooler_strategy == "vqa":
         idx = input_mask.sum(axis=1) - 2  # the '?' token (visual_bert.py:383)
@@ -138,7 +140,47 @@ def forward(
     h = layer_norm(h, t["ln"]["scale"], t["ln"]["bias"], cfg.bert.layer_norm_eps)
     c = params["head"]["classifier"]
     scores = h @ c["w"] + c["b"]
-    return {"scores": scores, "attn": attn, "sequence_output": hidden}
+    out = {"scores": scores, "attn": attn, "sequence_output": hidden}
+    if return_tape:
+        out["tape"] = {"encoder": tape, "mask": mask, "pooled": pooled,
+                       "cls_index": (input_mask.sum(axis=1) - 2
+                                     if cfg.pooler_strategy == "vqa" else None)}
+    return out
+
+
+def relprop(
+    params: Dict[str, Any],
+    tape: Dict[str, Any],
+    one_hot: jnp.ndarray,          # [B, num_labels]
+    cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+    alpha: float = 1.0,
+    uniform: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """LRP from the answer one-hot back through classifier → vqa pooler
+    → encoder (VisualBERTForClassification.relprop, visual_bert.py:
+    398-403). Returns (R at embeddings, attn cams [L, B, H, S, S]).
+    ``uniform=False`` gives the BERT_orig_lrp (layers_lrp) variant.
+    """
+    from transformer_mm_explainability_tpu.models import bert_lrp
+    from transformer_mm_explainability_tpu.ops import lrp
+
+    t = params["head"]["transform"]
+    c = params["head"]["classifier"]
+    pooled = tape["pooled"]
+    h1 = pooled @ t["w"] + t["b"]
+    g1 = layer_norm(gelu(h1), t["ln"]["scale"], t["ln"]["bias"],
+                    cfg.bert.layer_norm_eps)
+    cam = lrp.linear_alpha_beta(one_hot, g1, c["w"], alpha, uniform)
+    cam = lrp.linear_alpha_beta(cam, pooled, t["w"], alpha, uniform)
+
+    # vqa pooler: scatter back to the '?' token position
+    hidden_shape = tape["encoder"].shape[1:]  # [B, S, D]
+    R = jnp.zeros(hidden_shape, cam.dtype)
+    idx = tape["cls_index"]
+    R = jax.vmap(lambda r, i, v: r.at[i].set(v))(R, idx, cam)
+    return bert_lrp.bert_encoder_relprop(
+        params["encoder"], tape["encoder"], tape["mask"], R, cfg.bert,
+        alpha, uniform)
 
 
 def capture(
