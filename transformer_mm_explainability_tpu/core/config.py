@@ -1,0 +1,187 @@
+"""Hierarchical configuration system (OmegaConf-cascade equivalent).
+
+Re-implements the capability of mmf/utils/configuration.py:202-560 with
+a dependency-free nested-dict config: defaults → model defaults →
+dataset defaults → user YAML → CLI dotlist overrides (``a.b.c=value``)
+→ JSON override blob; attribute access, freeze/defrost, env-var
+interpolation ``${env:VAR,default}``.
+
+The reference ships three disjoint config systems (MMF OmegaConf, DETR
+argparse, LXMERT argparse singleton — SURVEY §5); here one system feeds
+every harness.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import re
+from typing import Any, Dict, Iterator, List, Mapping, Optional
+
+_ENV_PATTERN = re.compile(r"\$\{env:([A-Za-z_][A-Za-z0-9_]*)(?:,([^}]*))?\}")
+
+
+def _parse_scalar(text: str) -> Any:
+    t = text.strip()
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none", "~"):
+        return None
+    for cast in (int, float):
+        try:
+            return cast(t)
+        except ValueError:
+            pass
+    if t.startswith("[") or t.startswith("{"):
+        try:
+            return json.loads(t)
+        except json.JSONDecodeError:
+            pass
+    return t
+
+
+def _interp(value: Any) -> Any:
+    if isinstance(value, str):
+        def sub(m):
+            return os.environ.get(m.group(1), m.group(2) or "")
+        return _ENV_PATTERN.sub(sub, value)
+    return value
+
+
+class Config:
+    """Nested attribute/key access config with freeze semantics."""
+
+    def __init__(self, data: Optional[Mapping[str, Any]] = None):
+        object.__setattr__(self, "_data", {})
+        object.__setattr__(self, "_frozen", False)
+        if data:
+            for k, v in data.items():
+                self._data[k] = Config(v) if isinstance(v, Mapping) else _interp(v)
+
+    # -- access -----------------------------------------------------------
+    def __getattr__(self, key: str) -> Any:
+        try:
+            return self._data[key]
+        except KeyError:
+            raise AttributeError(key) from None
+
+    def __getitem__(self, key: str) -> Any:
+        return self._data[key]
+
+    def __setattr__(self, key: str, value: Any) -> None:
+        if self._frozen:
+            raise RuntimeError("config is frozen")
+        self._data[key] = Config(value) if isinstance(value, Mapping) else value
+
+    __setitem__ = __setattr__
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._data
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._data)
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self._data.get(key, default)
+
+    def keys(self):
+        return self._data.keys()
+
+    def items(self):
+        return self._data.items()
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            k: v.to_dict() if isinstance(v, Config) else v
+            for k, v in self._data.items()
+        }
+
+    def __repr__(self) -> str:
+        return f"Config({self.to_dict()!r})"
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, Config):
+            return self.to_dict() == other.to_dict()
+        if isinstance(other, dict):
+            return self.to_dict() == other
+        return NotImplemented
+
+    # -- freeze ------------------------------------------------------------
+    def freeze(self) -> "Config":
+        object.__setattr__(self, "_frozen", True)
+        for v in self._data.values():
+            if isinstance(v, Config):
+                v.freeze()
+        return self
+
+    def defrost(self) -> "Config":
+        object.__setattr__(self, "_frozen", False)
+        for v in self._data.values():
+            if isinstance(v, Config):
+                v.defrost()
+        return self
+
+    # -- merging ------------------------------------------------------------
+    def merge(self, other: Mapping[str, Any]) -> "Config":
+        """Deep-merge ``other`` on top of self (in place)."""
+        if self._frozen:
+            raise RuntimeError("config is frozen")
+        for k, v in (other.items() if hasattr(other, "items") else other):
+            cur = self._data.get(k)
+            if isinstance(cur, Config) and isinstance(v, (Mapping, Config)):
+                cur.merge(v)
+            else:
+                self._data[k] = (Config(v) if isinstance(v, (Mapping,))
+                                 else copy.deepcopy(v) if isinstance(v, Config)
+                                 else _interp(v))
+        return self
+
+    def merge_dotlist(self, overrides: List[str]) -> "Config":
+        """Apply ``a.b.c=value`` CLI overrides (the MMF ``opts``)."""
+        for item in overrides:
+            if "=" not in item:
+                raise ValueError(f"dotlist override {item!r} missing '='")
+            path, value = item.split("=", 1)
+            keys = path.strip().split(".")
+            node = self
+            for k in keys[:-1]:
+                if k not in node._data or not isinstance(node._data[k], Config):
+                    node._data[k] = Config()
+                node = node._data[k]
+            node._data[keys[-1]] = _parse_scalar(value)
+        return self
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    """YAML loader (PyYAML when present; JSON files always work)."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith(".json"):
+        return json.loads(text)
+    try:
+        import yaml  # type: ignore
+
+        return yaml.safe_load(text) or {}
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "PyYAML unavailable — use .json configs") from e
+
+
+def build_config(
+    defaults: Optional[Mapping[str, Any]] = None,
+    config_paths: Optional[List[str]] = None,
+    overrides: Optional[List[str]] = None,
+    config_override_json: Optional[str] = None,
+) -> Config:
+    """The MMF merge cascade: defaults → yaml files (in order) →
+    dotlist → json blob (configuration.py:202-560)."""
+    cfg = Config(defaults or {})
+    for path in config_paths or []:
+        cfg.merge(load_yaml(path))
+    if overrides:
+        cfg.merge_dotlist(overrides)
+    if config_override_json:
+        cfg.merge(json.loads(config_override_json))
+    return cfg

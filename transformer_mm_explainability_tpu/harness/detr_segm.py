@@ -1,0 +1,177 @@
+"""DETR segmentation-from-explanation harness.
+
+Equivalent of DETR/mask_generator.py + engine.evaluate's segm path
+(SURVEY C17): run DETR, keep detections with max softmax confidence
+> 0.5 (mask_generator.py:50-51), generate a per-query relevancy map
+with the chosen method, min-max → Otsu-binarise (:116-121) at the
+encoder feature resolution, upsample to the image (PostProcessSegm's
+bilinear + 0.5 threshold, models/segmentation.py:218-243), and score
+against ground-truth instance masks.
+
+TPU design: the reference explains detections one at a time with a full
+re-forward per query (SURVEY §3.3); here the kept queries are padded to
+``max_detections`` and explained in ONE batched fwd+bwd
+(explain/detr.generate_ours), and the Otsu/upsample pipeline is
+device-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_mm_explainability_tpu.explain import detr as expl_detr
+from transformer_mm_explainability_tpu.models import detr as detr_model
+from transformer_mm_explainability_tpu.ops.otsu import otsu_binarize
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmConfig:
+    confidence_threshold: float = 0.5
+    max_detections: int = 20
+    method: str = "ours_no_lrp"
+
+
+def keep_detections(pred_logits: np.ndarray, threshold: float,
+                    max_keep: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Queries whose max non-background softmax prob > threshold
+    (mask_generator.py:50-51), padded to ``max_keep``.
+    Returns (query_idx [K], class_idx [K], valid [K])."""
+    prob = np.asarray(jax.nn.softmax(jnp.asarray(pred_logits), -1))
+    scores = prob[:, :-1].max(-1)
+    classes = prob[:, :-1].argmax(-1)
+    order = np.argsort(-scores)
+    kept = order[scores[order] > threshold][:max_keep]
+    K = len(kept)
+    q = np.zeros((max_keep,), np.int32)
+    c = np.zeros((max_keep,), np.int32)
+    v = np.zeros((max_keep,), bool)
+    q[:K] = kept
+    c[:K] = classes[kept]
+    v[:K] = True
+    return q, c, v
+
+
+def masks_from_relevancy(rel_rows: jnp.ndarray, feat_hw: Tuple[int, int],
+                         out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """[K, S] per-query relevancy → [K, H, W] binary masks:
+    Otsu at feature resolution, bilinear upsample, 0.5 threshold."""
+    K = rel_rows.shape[0]
+    def one(rel):
+        m = otsu_binarize(rel.reshape(feat_hw))
+        up = jax.image.resize(m, out_hw, method="linear")
+        return (up > 0.5).astype(jnp.float32)
+    return jax.vmap(one)(rel_rows)
+
+
+def explain_image(
+    params,
+    image: jnp.ndarray,
+    cfg: detr_model.DETRConfig = detr_model.DETR_R50,
+    segm_cfg: SegmConfig = SegmConfig(),
+    pad_valid: Optional[jnp.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    """Full per-image pipeline → dict with detections + binary masks."""
+    out = detr_model.forward(params, image[None], pad_valid, cfg)
+    logits = np.asarray(out["pred_logits"][0])
+    q, c, valid = keep_detections(
+        logits, segm_cfg.confidence_threshold, segm_cfg.max_detections)
+
+    if segm_cfg.method == "ours_no_lrp":
+        rel = expl_detr.generate_ours(
+            params, image, jnp.asarray(q), jnp.asarray(c), cfg, pad_valid)
+    elif segm_cfg.method == "raw_attn":
+        rel = expl_detr.generate_raw_attn(out["attn"], jnp.asarray(q[:1]))
+        rel = jnp.broadcast_to(rel, (len(q), rel.shape[-1]))
+    else:
+        raise ValueError(f"unknown method {segm_cfg.method}")
+
+    Hf, Wf = out["feat_hw"]
+    H, W = image.shape[:2]
+    masks = masks_from_relevancy(rel, (Hf, Wf), (H, W))
+    prob = np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))
+    return {
+        "query_idx": q, "classes": c, "valid": valid,
+        "scores": prob[q, c],
+        "boxes": np.asarray(out["pred_boxes"][0])[q],
+        "masks": np.asarray(masks),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Mask AP evaluation (pycocotools-free COCO-style segm mAP)
+# ---------------------------------------------------------------------------
+
+def mask_iou(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """[K, H, W] × [G, H, W] binary → [K, G] IoU."""
+    pred_f = pred.reshape(pred.shape[0], -1).astype(bool)
+    gt_f = gt.reshape(gt.shape[0], -1).astype(bool)
+    inter = (pred_f[:, None] & gt_f[None]).sum(-1)
+    union = (pred_f[:, None] | gt_f[None]).sum(-1)
+    return inter / np.maximum(union, 1)
+
+
+def average_precision(
+    detections: List[Dict],      # per image: scores[K], classes[K], iou [K,G], gt_classes[G]
+    iou_threshold: float,
+) -> float:
+    """COCO-style AP at one IoU threshold, averaged over classes
+    present in ground truth (greedy score-ordered matching)."""
+    all_classes = sorted({int(c) for d in detections for c in d["gt_classes"]})
+    aps = []
+    for cls in all_classes:
+        scores, tps = [], []
+        n_gt = 0
+        for d in detections:
+            gt_idx = np.where(d["gt_classes"] == cls)[0]
+            n_gt += len(gt_idx)
+            det_idx = np.where(d["classes"] == cls)[0]
+            if len(det_idx) == 0:
+                continue
+            order = det_idx[np.argsort(-d["scores"][det_idx])]
+            taken = np.zeros(len(gt_idx), bool)
+            for di in order:
+                scores.append(d["scores"][di])
+                best, best_iou = -1, iou_threshold
+                for gi_pos, gi in enumerate(gt_idx):
+                    if not taken[gi_pos] and d["iou"][di, gi] >= best_iou:
+                        best, best_iou = gi_pos, d["iou"][di, gi]
+                if best >= 0:
+                    taken[best] = True
+                    tps.append(1.0)
+                else:
+                    tps.append(0.0)
+        if n_gt == 0:
+            continue
+        if not scores:
+            aps.append(0.0)
+            continue
+        order = np.argsort(-np.asarray(scores))
+        tp = np.asarray(tps)[order]
+        fp = 1.0 - tp
+        tp_cum, fp_cum = np.cumsum(tp), np.cumsum(fp)
+        recall = tp_cum / n_gt
+        precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+        # COCO 101-point interpolation
+        ap = 0.0
+        for r in np.linspace(0, 1, 101):
+            p = precision[recall >= r].max() if (recall >= r).any() else 0.0
+            ap += p / 101
+        aps.append(ap)
+    return float(np.mean(aps)) if aps else 0.0
+
+
+def segm_map(detections: List[Dict],
+             iou_thresholds: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """Segm mAP over IoU thresholds. The reference protocol lowers the
+    COCO band 0.5:0.95 to 0.2:0.95 (README.rst:116-145)."""
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(0.2, 1.0, 0.05)  # lowered band
+    per_t = {float(t): average_precision(detections, float(t))
+             for t in iou_thresholds}
+    return {"segm_mAP": float(np.mean(list(per_t.values()))),
+            **{f"AP@{t:.2f}": v for t, v in per_t.items()}}

@@ -53,6 +53,19 @@ def ensure_tpu(retries: int = 8, wait_s: float = 30.0) -> bool:
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def setup_compilation_cache(path: str = "/root/.cache/tmmx_jax_cache") -> None:
+    """Enable JAX's persistent compilation cache so repeated runs skip
+    the (slow, tunneled) compile step."""
+    import jax
+
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def force_cpu() -> None:
     """Route this process to the host CPU backend (tests, dry runs)."""
     import jax
