@@ -1,0 +1,143 @@
+"""Native C++ components: PHOC + TSV reader (vs python oracles and,
+when compilable, the reference cphoc.c itself)."""
+
+import base64
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE, has_reference
+
+from transformer_mm_explainability_tpu import native
+from transformer_mm_explainability_tpu.data import vqa
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    native.build()
+
+
+WORDS = ["the", "a", "question", "42", "th", "lllllll", "x0x0x0"]
+
+
+def test_phoc_native_vs_python():
+    for w in WORDS:
+        np.testing.assert_array_equal(native.build_phoc(w), native.phoc_py(w),
+                                      err_msg=w)
+
+
+def test_phoc_batch():
+    batch = native.build_phoc_batch(WORDS)
+    for i, w in enumerate(WORDS):
+        np.testing.assert_array_equal(batch[i], native.build_phoc(w))
+
+
+def test_phoc_rejects_unknown():
+    with pytest.raises(ValueError):
+        native.build_phoc("héllo")
+
+
+@pytest.fixture(scope="module")
+def ref_cphoc():
+    """Compile the reference cphoc.c as a CPython extension (oracle)."""
+    if not has_reference():
+        pytest.skip("no reference")
+    import sysconfig
+
+    inc = sysconfig.get_paths()["include"]
+    d = tempfile.mkdtemp()
+    so = os.path.join(d, "cphoc.so")
+    try:
+        subprocess.check_call(
+            ["gcc", "-O2", "-shared", "-fPIC", f"-I{inc}",
+             str(REFERENCE / "VisualBERT/mmf/utils/phoc/src/cphoc.c"),
+             "-o", so], stderr=subprocess.DEVNULL)
+    except Exception:
+        pytest.skip("cannot compile reference cphoc.c")
+    sys.path.insert(0, d)
+    import cphoc  # noqa
+
+    return cphoc
+
+
+def test_phoc_parity_vs_reference(ref_cphoc):
+    for w in WORDS:
+        want = np.asarray(ref_cphoc.build_phoc(w), np.float32)
+        np.testing.assert_array_equal(native.build_phoc(w), want, err_msg=w)
+
+
+def make_tsv(path, n_images=3, n_boxes=5, feat_dim=16, seed=0):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_images):
+        boxes = rng.rand(n_boxes, 4).astype(np.float32)
+        feats = rng.randn(n_boxes, feat_dim).astype(np.float32)
+        oid = rng.randint(0, 100, n_boxes).astype(np.int64)
+        oconf = rng.rand(n_boxes).astype(np.float32)
+        row = "\t".join([
+            f"img_{i}", "480", "640",
+            base64.b64encode(oid.tobytes()).decode(),
+            base64.b64encode(oconf.tobytes()).decode(),
+            base64.b64encode(oid.tobytes()).decode(),
+            base64.b64encode(oconf.tobytes()).decode(),
+            str(n_boxes),
+            base64.b64encode(boxes.tobytes()).decode(),
+            base64.b64encode(feats.tobytes()).decode(),
+        ])
+        rows.append((row, boxes, feats, oid, oconf))
+    with open(path, "w") as f:
+        f.write("\n".join(r[0] for r in rows) + "\n")
+    return rows
+
+
+def test_tsv_native_matches_python(tmp_path):
+    p = str(tmp_path / "feats.tsv")
+    rows = make_tsv(p)
+    nat = native.tsv.load_obj_tsv(p)
+    py = vqa.load_obj_tsv(p, use_native=False)
+    assert len(nat) == len(py) == 3
+    for a, b, (row, boxes, feats, oid, oconf) in zip(nat, py, rows):
+        assert a["img_id"] == b["img_id"]
+        assert a["img_h"] == b["img_h"] == 480
+        assert a["num_boxes"] == b["num_boxes"] == 5
+        np.testing.assert_allclose(a["boxes"], boxes, atol=0)
+        np.testing.assert_allclose(a["features"], feats, atol=0)
+        np.testing.assert_allclose(b["boxes"], boxes, atol=0)
+        np.testing.assert_array_equal(a["objects_id"], oid)
+
+
+def test_tsv_topk(tmp_path):
+    p = str(tmp_path / "feats.tsv")
+    make_tsv(p)
+    assert len(native.tsv.load_obj_tsv(p, topk=2)) == 2
+
+
+def test_feature_store(tmp_path):
+    p = str(tmp_path / "feats.tsv")
+    make_tsv(p, n_boxes=5)
+    items = vqa.load_obj_tsv(p)
+    store = vqa.FeatureStore(items, max_boxes=8)
+    rec = store["img_0"]
+    assert rec["features"].shape == (8, 16)
+    assert rec["boxes"].shape == (8, 4)
+    assert rec["num_boxes"] == 5
+    assert (rec["features"][5:] == 0).all()
+    # boxes normalised by image size
+    assert rec["boxes"][:5].max() <= 1.0
+
+
+def test_answer_vocab():
+    if not has_reference():
+        pytest.skip("no reference data")
+    vocab = vqa.AnswerVocab(
+        str(REFERENCE / "data/vqa/trainval_ans2label.json"),
+        str(REFERENCE / "data/vqa/trainval_label2ans.json"))
+    assert len(vocab) == 3129
+    scores = vocab.soft_scores({"yes": 1.0, "no": 0.3})
+    assert scores.sum() == pytest.approx(1.3)
+    assert scores[vocab.ans2label["yes"]] == 1.0
+    assert vocab.answer(vocab.ans2label["yes"]) == "yes"
