@@ -1,0 +1,203 @@
+"""Command-line entry points (the reference's CLI surface, C23).
+
+Mirrors the flag families of VisualBERT/run.py + mmf/utils/flags.py
+(--method / --num-samples / --is-positive-pert / --is-text-pert +
+``opts`` dotlist overrides), DETR/main.py (--eval --masks --method) and
+lxmert/perturbation.py, unified over one config system.
+
+    python -m transformer_mm_explainability_tpu.cli explain-vit IMG ...
+    python -m transformer_mm_explainability_tpu.cli perturbation \
+        --model visual_bert --method ours_no_lrp --num-samples 100 \
+        --is-text-pert false --is-positive-pert true ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+METHODS = ["ours_with_lrp", "ours_no_lrp", "transformer_att",
+           "partial_lrp", "raw_attn", "attn_gradcam", "rollout",
+           "ours_no_lrp_no_normalization", "ablation_no_self_in_10",
+           "ablation_no_aggregation"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tmmx")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--method", default="ours_no_lrp", choices=METHODS,
+                        help="explanation method (reference --method)")
+        sp.add_argument("--checkpoint", default=None,
+                        help="torch/orbax checkpoint to convert+load")
+        sp.add_argument("--seed", type=int, default=1234)
+        sp.add_argument("opts", nargs="*", default=[],
+                        help="config dotlist overrides key=value")
+
+    sp = sub.add_parser("explain-vit", help="ViT-B/16 relevancy map")
+    sp.add_argument("image", help="image path (png/jpg)")
+    sp.add_argument("--class-index", type=int, default=None)
+    sp.add_argument("--output", default="vit_relevancy.png")
+    common(sp)
+
+    sp = sub.add_parser("explain-clip", help="CLIP bi-modal relevancy")
+    sp.add_argument("image")
+    sp.add_argument("texts", nargs="+")
+    sp.add_argument("--start-layer", type=int, default=-1)
+    sp.add_argument("--start-layer-text", type=int, default=-1)
+    sp.add_argument("--output-prefix", default="clip_relevancy")
+    common(sp)
+
+    sp = sub.add_parser("perturbation",
+                        help="pos/neg perturbation benchmark")
+    sp.add_argument("--model", choices=["visual_bert", "lxmert"],
+                    default="visual_bert")
+    sp.add_argument("--num-samples", type=int, default=10000)
+    sp.add_argument("--is-positive-pert", type=str2bool, default=False)
+    sp.add_argument("--is-text-pert", type=str2bool, default=False)
+    sp.add_argument("--questions", default=None, help="VQA questions json")
+    sp.add_argument("--features", default=None, help="object-features TSV")
+    sp.add_argument("--ans2label", default=None)
+    sp.add_argument("--label2ans", default=None)
+    common(sp)
+
+    sp = sub.add_parser("detr-eval",
+                        help="DETR explanation-segmentation eval")
+    sp.add_argument("--coco-path", default=None)
+    sp.add_argument("--masks", action="store_true")
+    sp.add_argument("--max-images", type=int, default=None)
+    common(sp)
+
+    sp = sub.add_parser("bench", help="run the ViT-B throughput bench")
+    return p
+
+
+def cmd_explain_vit(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from transformer_mm_explainability_tpu.models import vit
+    from transformer_mm_explainability_tpu.ops import image as img_ops
+    from transformer_mm_explainability_tpu.utils import visualization as viz
+    from transformer_mm_explainability_tpu.utils import convert
+
+    cfg = vit.VIT_B_16
+    if args.checkpoint:
+        import torch
+
+        sd = torch.load(args.checkpoint, map_location="cpu")
+        params, cfg = convert.vit_from_state_dict(sd)
+    else:
+        print("note: no --checkpoint; using random weights (smoke mode)")
+        params = vit.init_params(jax.random.PRNGKey(args.seed), cfg)
+
+    raw = np.asarray(Image.open(args.image).convert("RGB"))
+    pre = img_ops.clip_preprocess(jnp.asarray(raw), cfg.image_size)
+    # ImageNet stats for ViT (timm transform)
+    img = img_ops.normalize(
+        img_ops.center_crop(
+            img_ops.resize_shortest_edge(
+                jnp.asarray(raw, jnp.float32) / 255.0, cfg.image_size,
+                method="bicubic"),
+            cfg.image_size),
+        (0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    del pre
+    logits, _ = vit.forward(params, img[None], cfg)
+    target = (int(np.argmax(np.asarray(logits[0])))
+              if args.class_index is None else args.class_index)
+    rel = vit.relevancy(params, img[None], jnp.asarray([target]), cfg)[0]
+    fig = viz.relevancy_figure(np.asarray(img), np.asarray(rel),
+                               (cfg.grid, cfg.grid))
+    from PIL import Image as PILImage
+
+    PILImage.fromarray(fig).save(args.output)
+    print(json.dumps({"class_index": target, "output": args.output}))
+    return 0
+
+
+def cmd_explain_clip(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from transformer_mm_explainability_tpu.data import bpe
+    from transformer_mm_explainability_tpu.explain import clip as expl_clip
+    from transformer_mm_explainability_tpu.models import clip as clip_model
+    from transformer_mm_explainability_tpu.ops import image as img_ops
+    from transformer_mm_explainability_tpu.utils import (convert,
+                                                         visualization as viz)
+
+    if args.checkpoint:
+        from transformer_mm_explainability_tpu.utils.clip_loader import (
+            load_clip)
+
+        params, cfg = load_clip(args.checkpoint)
+    else:
+        print("note: no --checkpoint; using random weights (smoke mode)")
+        cfg = clip_model.CLIP_VIT_B_32
+        params = clip_model.init_params(jax.random.PRNGKey(args.seed), cfg)
+
+    raw = np.asarray(Image.open(args.image).convert("RGB"))
+    img = img_ops.clip_preprocess(jnp.asarray(raw), cfg.image_resolution)
+    tokens = jnp.asarray(bpe.tokenize(args.texts, cfg.context_length))
+    R_txt, R_img, logits = expl_clip.interpret(
+        params, img, tokens, cfg,
+        start_layer=args.start_layer,
+        start_layer_text=args.start_layer_text)
+    grid = cfg.image_resolution // cfg.vision_patch_size
+    probs = np.asarray(jax.nn.softmax(logits, -1))[0]
+    outputs = []
+    for i, text in enumerate(args.texts):
+        fig = viz.relevancy_figure(np.asarray(img), np.asarray(R_img[i]),
+                                   (grid, grid))
+        out = f"{args.output_prefix}_{i}.png"
+        Image.fromarray(fig).save(out)
+        outputs.append(out)
+    print(json.dumps({"probs": probs.tolist(), "outputs": outputs}))
+    return 0
+
+
+def cmd_perturbation(args) -> int:
+    from transformer_mm_explainability_tpu.harness import pert_runner
+
+    return pert_runner.run_from_args(args)
+
+
+def cmd_detr_eval(args) -> int:
+    print("detr-eval: COCO evaluation requires --coco-path with val "
+          "images+annotations; see harness/detr_segm.py for the "
+          "programmatic API.")
+    return 0 if args.coco_path is None else 1
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "explain-vit":
+        return cmd_explain_vit(args)
+    if args.command == "explain-clip":
+        return cmd_explain_clip(args)
+    if args.command == "perturbation":
+        return cmd_perturbation(args)
+    if args.command == "detr-eval":
+        return cmd_detr_eval(args)
+    if args.command == "bench":
+        import bench
+
+        bench.main()
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -283,6 +283,121 @@ def lxmert_from_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# DETR (facebook detr-r50 release layout: torchvision ResNet under
+# backbone.0.body.*, torch-MHA fused in_proj in the transformer)
+# ---------------------------------------------------------------------------
+
+def _conv_hwio(w) -> jnp.ndarray:
+    """torch conv [out, in, kh, kw] → HWIO [kh, kw, in, out]."""
+    return jnp.asarray(_np(w).transpose(2, 3, 1, 0))
+
+
+def _frozen_bn(sd, prefix) -> Dict[str, jnp.ndarray]:
+    return {
+        "weight": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+        "bias": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+        "mean": jnp.asarray(_np(sd[f"{prefix}.running_mean"])),
+        "var": jnp.asarray(_np(sd[f"{prefix}.running_var"])),
+    }
+
+
+def resnet_from_state_dict(sd: Mapping[str, Any], prefix: str = "",
+                           stages=(3, 4, 6, 3)) -> Dict[str, Any]:
+    """torchvision ResNet (with (frozen)BN) → models/resnet pytree."""
+    g = lambda k: sd[f"{prefix}{k}"]
+    params: Dict[str, Any] = {
+        "conv1": {"w": _conv_hwio(g("conv1.weight"))},
+        "bn1": _frozen_bn(sd, f"{prefix}bn1"),
+        "layers": [],
+    }
+    for si, n_blocks in enumerate(stages):
+        blocks = []
+        for bi in range(n_blocks):
+            p = f"{prefix}layer{si + 1}.{bi}"
+            blk = {
+                "conv1": {"w": _conv_hwio(sd[f"{p}.conv1.weight"])},
+                "bn1": _frozen_bn(sd, f"{p}.bn1"),
+                "conv2": {"w": _conv_hwio(sd[f"{p}.conv2.weight"])},
+                "bn2": _frozen_bn(sd, f"{p}.bn2"),
+                "conv3": {"w": _conv_hwio(sd[f"{p}.conv3.weight"])},
+                "bn3": _frozen_bn(sd, f"{p}.bn3"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                blk["downsample"] = {
+                    "w": _conv_hwio(sd[f"{p}.downsample.0.weight"])}
+                blk["downsample_bn"] = _frozen_bn(sd, f"{p}.downsample.1")
+            blocks.append(blk)
+        params["layers"].append(blocks)
+    return params
+
+
+def _mha_from_in_proj(sd: Mapping[str, Any], prefix: str):
+    """torch MultiheadAttention fused in_proj → CrossAttentionParams
+    (the same split the reference performs at load,
+    DETR/modules/layers.py:711-726)."""
+    from transformer_mm_explainability_tpu.ops.attention import (
+        CrossAttentionParams,
+    )
+
+    w = _np(sd[f"{prefix}.in_proj_weight"])
+    b = _np(sd[f"{prefix}.in_proj_bias"])
+    D = w.shape[1]
+    wq, wk, wv = w[:D], w[D:2 * D], w[2 * D:]
+    bq, bk, bv = b[:D], b[D:2 * D], b[2 * D:]
+    wo, bo = _lin(sd, f"{prefix}.out_proj")
+    return CrossAttentionParams(
+        w_q=jnp.asarray(wq.T), b_q=jnp.asarray(bq),
+        w_k=jnp.asarray(wk.T), b_k=jnp.asarray(bk),
+        w_v=jnp.asarray(wv.T), b_v=jnp.asarray(bv),
+        w_out=jnp.asarray(wo), b_out=jnp.asarray(bo),
+    )
+
+
+def detr_from_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """facebook/detr release checkpoint → models/detr pytree."""
+    def ffn(p):
+        w1, b1 = _lin(sd, f"{p}.linear1")
+        w2, b2 = _lin(sd, f"{p}.linear2")
+        return {"w1": jnp.asarray(w1), "b1": jnp.asarray(b1),
+                "w2": jnp.asarray(w2), "b2": jnp.asarray(b2)}
+
+    enc = []
+    for i in range(cfg.num_encoder_layers):
+        p = f"transformer.encoder.layers.{i}"
+        enc.append({
+            "self_attn": _mha_from_in_proj(sd, f"{p}.self_attn"),
+            "norm1": _ln(sd, f"{p}.norm1"), "norm2": _ln(sd, f"{p}.norm2"),
+            "ffn": ffn(p),
+        })
+    dec = []
+    for i in range(cfg.num_decoder_layers):
+        p = f"transformer.decoder.layers.{i}"
+        dec.append({
+            "self_attn": _mha_from_in_proj(sd, f"{p}.self_attn"),
+            "cross_attn": _mha_from_in_proj(sd, f"{p}.multihead_attn"),
+            "norm1": _ln(sd, f"{p}.norm1"), "norm2": _ln(sd, f"{p}.norm2"),
+            "norm3": _ln(sd, f"{p}.norm3"), "ffn": ffn(p),
+        })
+    cw, cb = _lin(sd, "class_embed")
+    bbox = []
+    for i in range(3):
+        w, b = _lin(sd, f"bbox_embed.layers.{i}")
+        bbox.append({"w": jnp.asarray(w), "b": jnp.asarray(b)})
+    ip_w = _np(sd["input_proj.weight"])[:, :, 0, 0]  # [D, C, 1, 1]
+    return {
+        "backbone": resnet_from_state_dict(sd, "backbone.0.body."),
+        "input_proj": {"w": jnp.asarray(ip_w.T),
+                       "b": jnp.asarray(_np(sd["input_proj.bias"]))},
+        "query_embed": jnp.asarray(_np(sd["query_embed.weight"])),
+        "encoder": stack(enc),
+        "decoder": stack(dec),
+        "decoder_norm": _ln(sd, "transformer.decoder.norm"),
+        "class_embed": {"w": jnp.asarray(cw), "b": jnp.asarray(cb)},
+        "bbox_embed": bbox,
+    }
+
+
+# ---------------------------------------------------------------------------
 # timm ViT (vit_base_patch16_224 layout — the ViT notebook's model)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,107 @@
+"""Visualization utilities (SURVEY C38) without cv2/captum.
+
+  * JET colormap + heatmap overlay (the notebooks' show_cam_on_image),
+  * per-token text heatmap as HTML (captum visualize_text equivalent),
+  * box overlay rendering (SingleImageViz / save_image_vis equivalent)
+    via PIL.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def jet_colormap(x: np.ndarray) -> np.ndarray:
+    """values in [0,1] → RGB in [0,1] (cv2 COLORMAP_JET equivalent)."""
+    x = np.clip(x, 0.0, 1.0)
+    four_x = 4.0 * x
+    r = np.clip(np.minimum(four_x - 1.5, -four_x + 4.5), 0, 1)
+    g = np.clip(np.minimum(four_x - 0.5, -four_x + 3.5), 0, 1)
+    b = np.clip(np.minimum(four_x + 0.5, -four_x + 2.5), 0, 1)
+    return np.stack([r, g, b], axis=-1)
+
+
+def show_cam_on_image(image: np.ndarray, cam: np.ndarray) -> np.ndarray:
+    """Overlay a [H, W] relevancy map on a [H, W, 3] image in [0,1]
+    (ViT/CLIP notebooks' show_cam_on_image: heatmap + img, /max)."""
+    heatmap = jet_colormap(cam)
+    out = heatmap + image.astype(np.float32)
+    return out / out.max()
+
+
+def relevancy_figure(image: np.ndarray, relevancy: np.ndarray,
+                     grid_hw: Tuple[int, int]) -> np.ndarray:
+    """Patch relevancy → upsampled, normalised overlay (the notebooks'
+    generate_visualization): reshape to the grid, bilinear to image
+    size, min-max, JET overlay. Returns uint8 RGB."""
+    from transformer_mm_explainability_tpu.ops.image import (
+        min_max_normalize, upsample_relevancy)
+    import jax.numpy as jnp
+
+    H, W = image.shape[:2]
+    up = np.asarray(upsample_relevancy(jnp.asarray(relevancy), grid_hw, (H, W)))
+    up = np.asarray(min_max_normalize(jnp.asarray(up)))
+    img = image.astype(np.float32)
+    img = (img - img.min()) / max(img.max() - img.min(), 1e-9)
+    return (show_cam_on_image(img, up) * 255).astype(np.uint8)
+
+
+def text_heatmap_html(tokens: Sequence[str], scores: Sequence[float],
+                      title: str = "") -> str:
+    """Per-token heatmap (green-shaded spans, captum-style)."""
+    scores = np.asarray(scores, np.float32)
+    if scores.max() > scores.min():
+        norm = (scores - scores.min()) / (scores.max() - scores.min())
+    else:
+        norm = np.zeros_like(scores)
+    spans = "".join(
+        f'<span style="background-color: rgba(0, 180, 0, {a:.2f}); '
+        f'padding: 1px 2px; margin: 1px; border-radius: 2px;">{t}</span>'
+        for t, a in zip(tokens, norm))
+    head = f"<b>{title}</b><br>" if title else ""
+    return f'<div style="font-family: monospace">{head}{spans}</div>'
+
+
+def draw_boxes(image: np.ndarray, boxes_xyxy: np.ndarray,
+               labels: Optional[List[str]] = None,
+               scores: Optional[np.ndarray] = None,
+               width: int = 2) -> np.ndarray:
+    """Box overlay via PIL (visualizing_image.py SingleImageViz
+    equivalent). image uint8 [H, W, 3], boxes in pixels."""
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(image.astype(np.uint8))
+    draw = ImageDraw.Draw(img)
+    palette = [(255, 64, 64), (64, 160, 255), (64, 220, 64),
+               (255, 180, 40), (200, 90, 255), (255, 120, 200)]
+    for i, box in enumerate(np.asarray(boxes_xyxy)):
+        color = palette[i % len(palette)]
+        draw.rectangle([float(box[0]), float(box[1]),
+                        float(box[2]), float(box[3])],
+                       outline=color, width=width)
+        text = None
+        if labels is not None:
+            text = labels[i]
+        if scores is not None:
+            s = f"{float(scores[i]):.2f}"
+            text = f"{text} {s}" if text else s
+        if text:
+            draw.text((float(box[0]) + 2, float(box[1]) + 2), text,
+                      fill=color)
+    return np.asarray(img)
+
+
+def mask_overlay(image: np.ndarray, masks: np.ndarray,
+                 alpha: float = 0.5) -> np.ndarray:
+    """Instance-mask overlay: [K, H, W] binary masks tinted per
+    instance (DETR panoptic-style display). Returns uint8."""
+    out = image.astype(np.float32).copy()
+    palette = np.asarray([(255, 64, 64), (64, 160, 255), (64, 220, 64),
+                          (255, 180, 40), (200, 90, 255)], np.float32)
+    for i, m in enumerate(np.asarray(masks)):
+        color = palette[i % len(palette)]
+        out = np.where(m[..., None] > 0.5,
+                       (1 - alpha) * out + alpha * color, out)
+    return np.clip(out, 0, 255).astype(np.uint8)
