@@ -1,0 +1,103 @@
+"""FRCNN components: anchors, box transform, NMS, ROIAlign, end-to-end
+shape/finiteness (runs a tiny config — the real one loads converted
+unc-nlp/frcnn-vg-finetuned weights)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transformer_mm_explainability_tpu.models import frcnn
+
+TINY = frcnn.FrcnnConfig(
+    stages=(1, 1, 1, 1),
+    anchor_sizes=(32, 64),
+    aspect_ratios=(1.0,),
+    pre_nms_topk=50,
+    post_nms_topk=12,
+    pooler_resolution=4,
+    num_classes=9,
+    num_attrs=5,
+    max_detections=6,
+)
+
+
+def test_anchor_grid():
+    a = np.asarray(frcnn.anchor_grid(2, 3, TINY))
+    assert a.shape == (2 * 3 * 2, 4)
+    # first cell centre at stride/2 = 8
+    cx = (a[0, 0] + a[0, 2]) / 2
+    cy = (a[0, 1] + a[0, 3]) / 2
+    assert cx == pytest.approx(8.0) and cy == pytest.approx(8.0)
+    # sizes: w*h == size^2
+    w = a[:, 2] - a[:, 0]
+    h = a[:, 3] - a[:, 1]
+    np.testing.assert_allclose(np.sort(np.unique(np.round(w * h)))[:2],
+                               [32 * 32, 64 * 64])
+
+
+def test_apply_deltas_identity_and_shift():
+    boxes = jnp.asarray([[10.0, 10.0, 30.0, 50.0]])
+    out = np.asarray(frcnn.apply_deltas(boxes, jnp.zeros((1, 4)),
+                                        (1, 1, 1, 1)))
+    np.testing.assert_allclose(out, np.asarray(boxes), atol=1e-5)
+    # dx=0.5 shifts centre by 0.5*w
+    out = np.asarray(frcnn.apply_deltas(
+        boxes, jnp.asarray([[0.5, 0.0, 0.0, 0.0]]), (1, 1, 1, 1)))
+    assert (out[0, 0] + out[0, 2]) / 2 == pytest.approx(20 + 10)
+
+
+def test_nms_fixed():
+    boxes = jnp.asarray([
+        [0, 0, 10, 10], [1, 1, 11, 11],   # overlapping pair
+        [50, 50, 60, 60],                  # isolated
+    ], jnp.float32)
+    scores = jnp.asarray([0.9, 0.95, 0.5])
+    idx, ok = frcnn.nms_fixed(boxes, scores, 0.5, 3)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    assert list(idx[ok]) == [1, 2]  # best of the pair, then isolated
+
+
+def test_roi_align_constant_field():
+    """On a constant feature map every ROI pools the constant."""
+    feats = jnp.full((16, 16, 3), 2.5)
+    boxes = jnp.asarray([[2.0, 2.0, 10.0, 12.0], [0.0, 0.0, 16.0, 16.0]])
+    out = np.asarray(frcnn.roi_align(feats, boxes, 4, 1.0))
+    np.testing.assert_allclose(out, 2.5, atol=1e-5)
+
+
+def test_roi_align_linear_field():
+    """Bilinear sampling of a linear ramp is exact."""
+    H = W = 16
+    ramp = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :, None],
+                            (H, W, 1))  # value = x coordinate
+    box = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])
+    out = np.asarray(frcnn.roi_align(ramp, box, 4, 1.0))[0, :, :, 0]
+    # bin centres along x: 4 + (i+0.5)*2 − 0.5 sample offset → exact ramp
+    want_cols = 4 + (np.arange(4) + 0.5) * 2 - 0.5
+    np.testing.assert_allclose(out.mean(axis=0), want_cols, atol=1e-4)
+
+
+def test_frcnn_end_to_end_shapes():
+    params = frcnn.init_params(jax.random.PRNGKey(0), TINY)
+    img = jnp.asarray(
+        np.random.RandomState(0).randn(128, 160, 3).astype(np.float32))
+    out = frcnn.forward(params, img, TINY)
+    M = TINY.max_detections
+    assert out["roi_features"].shape == (M, 2048)
+    assert out["boxes"].shape == (M, 4)
+    assert out["normalized_boxes"].shape == (M, 4)
+    nb = np.asarray(out["normalized_boxes"])
+    assert np.isfinite(np.asarray(out["roi_features"])).all()
+    assert (nb >= 0).all() and (nb <= 1).all()
+    assert out["obj_ids"].shape == (M,)
+    assert out["attr_ids"].shape == (M,)
+
+
+def test_preprocess_bgr_mean():
+    img = jnp.full((64, 64, 3), 128, jnp.uint8)
+    out = np.asarray(frcnn.preprocess(img, target_shortest=32,
+                                      longest_cap=64))
+    assert out.shape == (32, 32, 3)
+    want = 128 - np.asarray([102.9801, 115.9465, 122.7717])
+    np.testing.assert_allclose(out[0, 0], want, atol=1e-3)

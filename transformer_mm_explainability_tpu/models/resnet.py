@@ -52,10 +52,14 @@ def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def bottleneck(x: jnp.ndarray, p: Dict[str, Any], stride: int,
-               dilation: int = 1) -> jnp.ndarray:
-    out = jax.nn.relu(frozen_bn(conv(x, p["conv1"]["w"]), p["bn1"]))
+               dilation: int = 1, stride_in_1x1: bool = False) -> jnp.ndarray:
+    """``stride_in_1x1`` selects the caffe/detectron2 variant (stride on
+    the first 1×1 conv) vs torchvision v1.5 (stride on the 3×3)."""
+    s1, s2 = (stride, 1) if stride_in_1x1 else (1, stride)
+    out = jax.nn.relu(frozen_bn(conv(x, p["conv1"]["w"], stride=s1),
+                                p["bn1"]))
     out = jax.nn.relu(frozen_bn(
-        conv(out, p["conv2"]["w"], stride=stride, dilation=dilation),
+        conv(out, p["conv2"]["w"], stride=s2, dilation=dilation),
         p["bn2"]))
     out = frozen_bn(conv(out, p["conv3"]["w"]), p["bn3"])
     if "downsample" in p:
