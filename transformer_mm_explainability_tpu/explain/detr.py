@@ -130,6 +130,69 @@ def generate_ours_no_agg(params, image, target_queries, target_classes,
                                axis=1)[:, 0]
 
 
+def generate_ours_lrp(
+    params, image, target_queries, target_classes,
+    cfg=detr_model.DETR_R50, pad_valid=None,
+    normalize_self_attention: bool = True,
+    apply_self_in_rule_10: bool = True,
+):
+    """'ours_with_lrp' (ExplanationGenerator.py:142-195 use_lrp=True):
+    the propagation chain consumes relprop cams instead of raw A."""
+    from transformer_mm_explainability_tpu.models import detr_lrp
+
+    K = target_queries.shape[0]
+    images = jnp.broadcast_to(image[None], (K,) + image.shape)
+    one_hot = jax.nn.one_hot(target_classes, cfg.num_classes + 1)
+    oh = jnp.zeros((K, cfg.num_queries, cfg.num_classes + 1))
+    oh = oh.at[jnp.arange(K), target_queries].set(one_hot)
+    masks = (None if pad_valid is None
+             else jnp.broadcast_to(pad_valid[None], (K,) + pad_valid.shape))
+    _, attn, grads = detr_model.capture(params, images, oh, masks, cfg)
+    # relprop pass for the cams (recomputes the transformer with a tape)
+    from transformer_mm_explainability_tpu.models import resnet
+
+    feats = resnet.forward(params["backbone"], images,
+                           dilation_last=cfg.dilation)
+    Kb, Hf, Wf, C = feats.shape
+    src = feats.reshape(Kb, Hf * Wf, C) @ params["input_proj"]["w"] \
+        + params["input_proj"]["b"]
+    valid = (jnp.ones((Kb, Hf, Wf)) if pad_valid is None else
+             masks[:, ::image.shape[0] // Hf, ::image.shape[1] // Wf]
+             [:, :Hf, :Wf].astype(jnp.float32))
+    pos = detr_model.sine_position_encoding(valid, cfg.d_model // 2)
+    pos = pos.reshape(Kb, Hf * Wf, cfg.d_model)
+    hs, _, _, tape = detr_model.transformer_forward(
+        params, src, pos, None, cfg,
+        detr_model.zero_taps(cfg, Kb, Hf * Wf), return_tape=True)
+    _, cams = detr_lrp.relprop(params, tape, hs, oh, cfg)
+    R_qi = _per_example(
+        cams, grads,
+        lambda a, g: relevancy_from_capture(
+            a, g, normalize_self_attention, apply_self_in_rule_10))
+    return jnp.take_along_axis(R_qi, target_queries[:, None, None],
+                               axis=1)[:, 0]
+
+
+def generate_transformer_att(cams, grads, target_queries: jnp.ndarray
+                             ) -> jnp.ndarray:
+    """transformer_att baseline (:64-108): avg_heads of the LAST decoder
+    cross-attention's (LRP cam ⊙ grad)."""
+    cam = jax.vmap(_avg)(cams.dec_cross[-1], grads.dec_cross[-1])
+    return jnp.take_along_axis(cam, target_queries[:, None, None],
+                               axis=1)[:, 0]
+
+
+def generate_partial_lrp(cams, target_queries: jnp.ndarray) -> jnp.ndarray:
+    """partial_lrp (:197-224): head-mean of the last decoder cross cam,
+    min-max normalised."""
+    cam = cams.dec_cross[-1].mean(axis=1)  # [B, Q, S]
+    lo = cam.min(axis=(1, 2), keepdims=True)
+    hi = cam.max(axis=(1, 2), keepdims=True)
+    cam = (cam - lo) / (hi - lo)
+    return jnp.take_along_axis(cam, target_queries[:, None, None],
+                               axis=1)[:, 0]
+
+
 # --- capture-only baselines (one fwd, optional one bwd) -------------------
 
 def generate_raw_attn(attn: DETRTaps, target_queries: jnp.ndarray

@@ -165,8 +165,9 @@ def transformer_forward(
     key_padding_bias: Optional[jnp.ndarray],  # [B, 1, 1, S] additive or None
     cfg: DETRConfig,
     taps: DETRTaps,
-) -> Tuple[jnp.ndarray, jnp.ndarray, DETRTaps]:
-    """Returns (hs [B, Q, D], memory [B, S, D], attn probs)."""
+    return_tape: bool = False,
+):
+    """Returns (hs [B, Q, D], memory [B, S, D], attn probs[, tape])."""
     B = src.shape[0]
     H = cfg.nheads
 
@@ -177,12 +178,13 @@ def transformer_forward(
             p["self_attn"], qk, qk, H, mask=key_padding_bias, tap=tap,
             x_v=x,
         )
+        x_in = x
         x = layer_norm(x + attn_out, p["norm1"]["scale"], p["norm1"]["bias"])
         x = layer_norm(x + _ffn_relu(p["ffn"], x),
                        p["norm2"]["scale"], p["norm2"]["bias"])
-        return x, probs
+        return x, (probs, x_in)
 
-    memory, enc_probs = jax.lax.scan(
+    memory, (enc_probs, enc_tape) = jax.lax.scan(
         enc_layer, src, (params["encoder"], taps.enc_self))
 
     query_pos = jnp.broadcast_to(params["query_embed"],
@@ -191,6 +193,7 @@ def transformer_forward(
 
     def dec_layer(tgt, inputs):
         p, tap_self, tap_cross = inputs
+        tgt_in = tgt
         qk = tgt + query_pos
         attn_out, self_probs = multi_head_cross_attention(
             p["self_attn"], qk, qk, H, tap=tap_self, x_v=tgt)
@@ -203,14 +206,18 @@ def transformer_forward(
         tgt = layer_norm(tgt + attn_out, p["norm2"]["scale"], p["norm2"]["bias"])
         tgt = layer_norm(tgt + _ffn_relu(p["ffn"], tgt),
                          p["norm3"]["scale"], p["norm3"]["bias"])
-        return tgt, (self_probs, cross_probs)
+        return tgt, (self_probs, cross_probs, tgt_in)
 
-    hs, (dec_self_probs, dec_cross_probs) = jax.lax.scan(
+    hs, (dec_self_probs, dec_cross_probs, dec_tape) = jax.lax.scan(
         dec_layer, tgt, (params["decoder"], taps.dec_self, taps.dec_cross))
     hs = layer_norm(hs, params["decoder_norm"]["scale"],
                     params["decoder_norm"]["bias"])
     attn = DETRTaps(enc_self=enc_probs, dec_self=dec_self_probs,
                     dec_cross=dec_cross_probs)
+    if return_tape:
+        tape = {"enc": enc_tape, "dec": dec_tape, "memory": memory,
+                "pos": pos, "query_pos": query_pos, "hs_prenorm": None}
+        return hs, memory, attn, tape
     return hs, memory, attn
 
 

@@ -36,9 +36,12 @@ def _round_up(x: int, m: int) -> int:
 
 def _chain_kernel(a_ref, g_ref, out_ref, r_scratch, e_scratch,
                   a_vmem, g_vmem, sems):
-    """Per-example kernel. a_ref/g_ref: [1, L, H, S, S] (HBM block);
+    """Per-example kernel. a_ref/g_ref: the FULL [B, L, H, S, S] arrays
+    in HBM (ANY-space blocks must be whole arrays); the grid walks the
+    batch axis and the kernel DMAs per-(example, layer) slabs.
     out_ref: [1, S, S] (VMEM); r/e scratch [S, S]; a/g vmem
     double-buffered [2, H, S, S]."""
+    b = pl.program_id(0)
     _, L, H, S, _ = a_ref.shape
 
     # R = I
@@ -48,9 +51,9 @@ def _chain_kernel(a_ref, g_ref, out_ref, r_scratch, e_scratch,
 
     def dma_in(slot, layer):
         return (
-            pltpu.make_async_copy(a_ref.at[0, layer], a_vmem.at[slot],
+            pltpu.make_async_copy(a_ref.at[b, layer], a_vmem.at[slot],
                                   sems.at[slot, 0]),
-            pltpu.make_async_copy(g_ref.at[0, layer], g_vmem.at[slot],
+            pltpu.make_async_copy(g_ref.at[b, layer], g_vmem.at[slot],
                                   sems.at[slot, 1]),
         )
 
@@ -103,10 +106,8 @@ def self_attention_relevancy_pallas(
         _chain_kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, L, H, Sp, Sp), lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.ANY),
-            pl.BlockSpec((1, L, H, Sp, Sp), lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, Sp, Sp), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
