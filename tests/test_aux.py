@@ -1,0 +1,135 @@
+"""Aux subsystems: COCO data, profiling, zoo, sweep launcher."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from transformer_mm_explainability_tpu.data import coco
+from transformer_mm_explainability_tpu.tools.sweep import Param, Sweep
+from transformer_mm_explainability_tpu.utils import download, profiling
+
+
+def make_coco_json(tmp_path):
+    data = {
+        "images": [
+            {"id": 1, "height": 20, "width": 30, "file_name": "a.jpg"},
+            {"id": 2, "height": 10, "width": 10, "file_name": "b.jpg"},
+        ],
+        "annotations": [
+            {"id": 10, "image_id": 1, "category_id": 3, "iscrowd": 0,
+             "bbox": [5, 5, 10, 8],
+             "segmentation": [[5, 5, 15, 5, 15, 13, 5, 13]]},
+            {"id": 11, "image_id": 1, "category_id": 7, "iscrowd": 1,
+             "bbox": [0, 0, 5, 5], "segmentation": [[0, 0, 5, 0, 5, 5]]},
+            {"id": 12, "image_id": 2, "category_id": 3, "iscrowd": 0,
+             "bbox": [2, 2, 4, 4],
+             "segmentation": {"size": [10, 10],
+                              "counts": [22, 4, 6, 4, 6, 4, 54]}},
+        ],
+        "categories": [{"id": 3, "name": "cat"}, {"id": 7, "name": "dog"}],
+    }
+    p = tmp_path / "instances.json"
+    p.write_text(json.dumps(data))
+    return str(p)
+
+
+def test_coco_targets(tmp_path):
+    ds = coco.CocoDetection(make_coco_json(tmp_path))
+    assert len(ds) == 2
+    t = ds.target(1)
+    # crowd annotation dropped
+    assert t["labels"].tolist() == [3]
+    np.testing.assert_allclose(t["boxes_xyxy"][0], [5, 5, 15, 13])
+    # normalised cxcywh
+    np.testing.assert_allclose(t["boxes"][0],
+                               [10 / 30, 9 / 20, 10 / 30, 8 / 20], atol=1e-6)
+    m = t["masks"][0]
+    assert m.shape == (20, 30)
+    assert m[6, 6] == 1 and m[0, 0] == 0
+
+
+def test_uncompressed_rle(tmp_path):
+    ds = coco.CocoDetection(make_coco_json(tmp_path))
+    t = ds.target(2)
+    m = t["masks"][0]
+    assert m.shape == (10, 10)
+    # counts [22,4,...]: first 22 zeros column-major → (2,2) is mask=1
+    assert m[2, 2] == 1 and m[0, 0] == 0
+
+
+def test_compressed_rle_roundtrip():
+    """Encode a known mask with the COCO varint scheme and decode it."""
+    # runs: 5 zeros, 3 ones, 4 zeros (h=4, w=3 → 12 px)
+    # build the counts string by hand (small positive varints)
+    def enc_varint(x, prev_delta_idx, runs):
+        # mimic pycocotools: values after the 2nd are deltas
+        more_chunks = []
+        while True:
+            c = x & 0x1F
+            x >>= 5
+            done = (x == 0 and not (c & 0x10)) or (x == -1 and (c & 0x10))
+            if not done:
+                c |= 0x20
+            more_chunks.append(chr(c + 48))
+            if done:
+                break
+        return "".join(more_chunks)
+
+    runs = [5, 3, 4]
+    s = ""
+    for i, r in enumerate(runs):
+        x = r - (runs[i - 2] if i > 2 else 0)
+        s += enc_varint(x, i, runs)
+    m = coco.decode_compressed_rle(s, 4, 3)
+    flat = m.T.reshape(-1)
+    np.testing.assert_array_equal(flat, [0] * 5 + [1] * 3 + [0] * 4)
+
+
+def test_profiling_tools(caplog):
+    import logging
+
+    t = profiling.Timer()
+    assert t.elapsed() >= 0
+    with caplog.at_level(logging.DEBUG, logger="tmmx"):
+        with profiling.profile_section("unit"):
+            pass
+    assert any("unit:" in r.message for r in caplog.records)
+
+
+def test_zoo_resolve_local(tmp_path):
+    f = tmp_path / "detr-r50-e632da11.pth"
+    f.write_bytes(b"fake")
+    path = download.resolve("detr_r50", cache_dir=str(tmp_path),
+                            allow_download=False)
+    assert path == str(f)
+    with pytest.raises(FileNotFoundError):
+        download.resolve("clip_vit_b32", cache_dir=str(tmp_path / "empty"),
+                         allow_download=False)
+
+
+def test_zoo_checksum(tmp_path):
+    f = tmp_path / "ViT-B-32.pt"
+    f.write_bytes(b"not the real clip weights")
+    with pytest.raises(IOError):
+        download.resolve("clip_vit_b32", cache_dir=str(tmp_path),
+                         allow_download=False)
+
+
+def test_sweep_grid_and_state(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    sweep = Sweep("unit", "echo run", [Param("lr", [0.1, 0.2]),
+                                       Param("seed", [1])],
+                  sweep_root=str(tmp_path / "sweeps"))
+    grid = sweep.grid()
+    assert len(grid) == 2
+    cmds = sweep.launch(backend="local", dry_run=True)
+    assert len(cmds) == 2
+    assert "lr=0.1" in cmds[0] and "seed=1" in cmds[0]
+    assert sweep.state(grid[0]) == "pending"
+    # slurm script emission
+    scripts = sweep.launch(backend="slurm", dry_run=True)
+    assert all(os.path.exists(s) for s in scripts)
+    body = open(scripts[0]).read()
+    assert "#SBATCH --requeue" in body and "srun" in body

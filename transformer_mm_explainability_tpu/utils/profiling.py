@@ -1,0 +1,64 @@
+"""Profiling / sanitiser hooks (SURVEY §5 aux subsystems).
+
+  * ``trace`` — jax.profiler trace context (TensorBoard-compatible
+    .pb traces; the jax-native replacement for MMF's
+    TrainerProfilingMixin timer prints),
+  * ``Timer``/``profile_section`` — the debug-level wall-time prints,
+  * ``enable_nan_debugging`` — ``jax_debug_nans`` toggle (the analog of
+    torch.autograd.set_detect_anomaly behind MMF's
+    training.detect_anomaly flag, training_loop.py:27).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Iterator, Optional
+
+logger = logging.getLogger("tmmx")
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Capture a device trace for [the] block (view in TensorBoard or
+    Perfetto)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Timer:
+    """Wall-clock timer with reset semantics (mmf/utils/timer.py)."""
+
+    def __init__(self) -> None:
+        self.start = time.time()
+
+    def reset(self) -> None:
+        self.start = time.time()
+
+    def elapsed(self) -> float:
+        return time.time() - self.start
+
+
+@contextlib.contextmanager
+def profile_section(name: str, level: int = logging.DEBUG
+                    ) -> Iterator[None]:
+    """Timer print at debug level (TrainerProfilingMixin.profile)."""
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        logger.log(level, "%s: %.3fs", name, time.time() - t0)
+
+
+def enable_nan_debugging(enabled: bool = True) -> None:
+    """jax_debug_nans: re-runs the failing primitive eagerly and raises
+    where a NaN is produced."""
+    import jax
+
+    jax.config.update("jax_debug_nans", enabled)
