@@ -34,14 +34,26 @@ def main():
 
     from transformer_mm_explainability_tpu.models import vit
 
+    from transformer_mm_explainability_tpu.utils.tpu import (
+        setup_compilation_cache,
+    )
+
+    setup_compilation_cache()
+
     cfg = vit.VIT_B_16
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    if on_tpu:
+        # throughput mode: bf16 weights/activations, fp32 softmax +
+        # relevancy accumulation (the parity-critical reductions)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     fn = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))
 
     B = 64 if on_tpu else 4
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
+    if on_tpu:
+        images = images.astype(jnp.bfloat16)
     targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
 
     # warm-up / compile
