@@ -64,14 +64,14 @@ class VisualBertPerturbationRunner:
 
         self._explain = explain
 
-        def fwd_scores(b):
-            out = vb.forward(params, b["input_ids"], b["input_mask"],
-                             b.get("visual_embeddings"),
-                             visual_mask=b.get("visual_mask"), cfg=cfg)
-            return out["scores"]
-
         @jax.jit
-        def run_pert(batch, cam, targets, text_len):
+        def run_pert(params, batch, cam, targets, text_len):
+            def fwd_scores(b):
+                out = vb.forward(params, b["input_ids"], b["input_mask"],
+                                 b.get("visual_embeddings"),
+                                 visual_mask=b.get("visual_mask"), cfg=cfg)
+                return out["scores"]
+
             if text_pert:
                 S_text = batch["input_ids"].shape[1]
                 always = jnp.zeros((S_text,), bool)
@@ -95,8 +95,8 @@ class VisualBertPerturbationRunner:
             self.params, batch,
             jnp.argmax(jnp.asarray(soft_targets))[None])
         text_len = batch["input_mask"].sum(axis=1)[0]
-        accs = self._run_pert(batch, cam[0], jnp.asarray(soft_targets),
-                              text_len)
+        accs = self._run_pert(self.params, batch, cam[0],
+                              jnp.asarray(soft_targets), text_len)
         return np.asarray(accs)
 
 
@@ -124,6 +124,111 @@ def run_loop(runner, samples: Iterable, max_samples: int,
         "auc": pert.auc(running, runner.steps),
     }))
     return running
+
+
+class LxmertPerturbationRunner:
+    """Per-sample pipeline for LXMERT VQA batches
+    (lxmert/perturbation.py's ModelPert, TPU-shaped).
+
+    Consumes precomputed FRCNN features (the reference recomputes the
+    CNN per step on the SAME image — identical features; here they're
+    computed once, or loaded from TSV)."""
+
+    def __init__(self, params, cfg, method: str = "ours_no_lrp",
+                 positive: bool = False, text_pert: bool = False):
+        from transformer_mm_explainability_tpu.explain import (
+            lxmert as elx)
+        from transformer_mm_explainability_tpu.models import (
+            lxmert as lx)
+
+        self.params = params
+        self.cfg = cfg
+        self.positive = positive
+        self.text_pert = text_pert
+        self.steps = pert.LXMERT_STEPS
+
+        @jax.jit
+        def explain(params, batch, target):
+            scores, attn, grads = lx.capture(params, batch, target, cfg)
+            if method in ("ours_no_lrp", "ours_with_lrp"):
+                if method == "ours_with_lrp":
+                    from transformer_mm_explainability_tpu.models import (
+                        lxmert_lrp)
+
+                    out = lx.forward(
+                        params, batch["input_ids"],
+                        batch["attention_mask"], batch["visual_feats"],
+                        batch["visual_pos"], cfg=cfg, return_tape=True)
+                    one_hot = jax.nn.one_hot(target, cfg.num_qa_labels)
+                    _, _, cams = lxmert_lrp.relprop(
+                        params, out["tape"], one_hot,
+                        out["tape"]["lang_mask"], out["tape"]["visn_mask"],
+                        cfg)
+                    tt, ti = elx.generate_ours(cams, grads)
+                else:
+                    tt, ti = elx.generate_ours(attn, grads)
+            elif method == "transformer_att":
+                from transformer_mm_explainability_tpu.models import (
+                    lxmert_lrp)
+
+                out = lx.forward(
+                    params, batch["input_ids"], batch["attention_mask"],
+                    batch["visual_feats"], batch["visual_pos"], cfg=cfg,
+                    return_tape=True)
+                one_hot = jax.nn.one_hot(target, cfg.num_qa_labels)
+                _, _, cams = lxmert_lrp.relprop(
+                    params, out["tape"], one_hot, out["tape"]["lang_mask"],
+                    out["tape"]["visn_mask"], cfg)
+                tt, ti = elx.generate_transformer_att(cams, grads)
+            elif method == "raw_attn":
+                tt, ti = elx.generate_raw_attn(attn)
+            elif method == "rollout":
+                tt, ti = elx.generate_rollout(attn)
+            elif method == "attn_gradcam":
+                tt, ti = elx.generate_attn_gradcam(attn, grads)
+            else:
+                raise ValueError(method)
+            # text relevancy: CLS row; image: CLS row of R_t_i
+            # (perturbation.py cam_text/cam_image extraction)
+            cam_text = tt[:, 0]
+            cam_image = ti[:, 0]
+            return scores, cam_text, cam_image
+
+        self._explain = explain
+
+        @jax.jit
+        def run_pert(params, batch, cam_text, cam_image, targets, text_len):
+            def fwd_scores(b):
+                out = lx.forward(params, b["input_ids"],
+                                 b["attention_mask"], b["visual_feats"],
+                                 b["visual_pos"],
+                                 visual_mask=b.get("visual_mask"), cfg=cfg)
+                return out["qa_scores"]
+
+            if text_pert:
+                S_text = batch["input_ids"].shape[1]
+                always = jnp.zeros((S_text,), bool).at[0].set(True)
+                always = jnp.where(
+                    jnp.arange(S_text) == text_len - 1, True, always)
+                return pert.run_text_perturbation(
+                    fwd_scores, batch, cam_text, targets, self.steps,
+                    positive, always, text_len,
+                    input_ids_key="input_ids",
+                    input_mask_key="attention_mask")
+            return pert.run_image_perturbation(
+                fwd_scores, batch, cam_image, targets, self.steps,
+                positive)
+
+        self._run_pert = run_pert
+
+    def run_sample(self, batch, soft_targets) -> np.ndarray:
+        scores, cam_text, cam_image = self._explain(
+            self.params, batch,
+            jnp.argmax(jnp.asarray(soft_targets))[None])
+        text_len = batch["attention_mask"].sum(axis=1)[0]
+        accs = self._run_pert(self.params, batch, cam_text[0], cam_image[0],
+                              jnp.asarray(soft_targets), text_len)
+        return np.asarray(accs)
 
 
 def run_from_args(args) -> int:

@@ -90,7 +90,13 @@ def attention_core(
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1)
-    probs_used = probs if tap is None else probs + tap
+    if tap is None:
+        probs_used = probs
+    else:
+        # capture dtype follows the tap: a bf16 tap stores the captured
+        # probabilities/gradients at half the HBM cost (throughput mode)
+        probs = probs.astype(tap.dtype)
+        probs_used = probs + tap
     out = jnp.einsum(
         "bhqk,bhkd->bhqd",
         probs_used.astype(v.dtype),

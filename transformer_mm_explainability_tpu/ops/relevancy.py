@@ -162,13 +162,16 @@ def self_attention_relevancy(
     cell 7, CLIP example.py:20-31) with one ``lax.scan``.
     """
     L, H, S, _ = cams.shape
-    e_hats = jnp.maximum(grads * cams, 0.0).mean(axis=1)  # [L, S, S]
+    # accumulate in fp32 regardless of the capture dtype (bf16 capture
+    # is a throughput option; the chain math stays fp32)
+    prod = (grads.astype(jnp.float32) * cams.astype(jnp.float32))
+    e_hats = jnp.maximum(prod, 0.0).mean(axis=1)  # [L, S, S]
     e_hats = e_hats[start_layer:]
 
     def step(R, e_hat):
         return R + e_hat @ R, None
 
-    R0 = jnp.eye(S, dtype=cams.dtype)
+    R0 = jnp.eye(S, dtype=jnp.float32)
     R, _ = jax.lax.scan(step, R0, e_hats)
     return R
 
