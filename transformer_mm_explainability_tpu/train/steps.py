@@ -40,6 +40,43 @@ def make_adamw(learning_rate: float = 5e-5, weight_decay: float = 1e-4,
     return optax.chain(*txs)
 
 
+def make_bert_adam(learning_rate: float = 5e-5, warmup: float = 0.1,
+                   total_steps: int = 10000, weight_decay: float = 0.01,
+                   b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
+                   grad_clip: float = 1.0) -> optax.GradientTransformation:
+    """BertAdam — the LXMERT finetune optimizer (lxrt/optimization.py):
+    Adam WITHOUT bias correction, decoupled weight decay, linear warmup
+    then linear decay ("warmup_linear"), global-norm clip at 1."""
+    def schedule(step):
+        frac = jnp.minimum(step / total_steps, 1.0)
+        warm = frac / warmup
+        decay = (1.0 - frac) / (1.0 - warmup)
+        return learning_rate * jnp.where(frac < warmup, warm, decay)
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"m": zeros, "v": jax.tree_util.tree_map(jnp.zeros_like,
+                                                        params),
+                "step": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params):
+        m = jax.tree_util.tree_map(
+            lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
+        v = jax.tree_util.tree_map(
+            lambda v_, g: b2 * v_ + (1 - b2) * g * g, state["v"], grads)
+        lr = schedule(state["step"].astype(jnp.float32))
+        updates = jax.tree_util.tree_map(
+            lambda m_, v_, p: -lr * (m_ / (jnp.sqrt(v_) + eps)
+                                     + weight_decay * p),
+            m, v, params)
+        return updates, {"m": m, "v": v, "step": state["step"] + 1}
+
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.GradientTransformation(init, update),
+    )
+
+
 def init_state(params, tx: optax.GradientTransformation) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32))
