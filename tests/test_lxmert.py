@@ -220,6 +220,108 @@ def test_generate_ours_parity(ref_model, ref_run, jax_params):
                                want_ti.detach().numpy(), atol=1e-4)
 
 
+@requires_reference
+def test_ablation_no_agg_parity(ref_model, ref_run, jax_params):
+    """No-aggregation ablation vs the reference
+    GeneratorOursAblationNoAggregation (use_lrp=False)."""
+    import importlib
+    import torch
+
+    gen_mod = importlib.import_module(
+        "lxmert.lxmert.src.ExplanationGenerator")
+    input_ids, mask, feats, pos, _, targets = ref_run
+
+    class Usage:
+        model = ref_model
+        text_len = St
+        image_boxes_len = Sv
+
+        @staticmethod
+        def forward(item):
+            return ref_model(
+                input_ids=torch.tensor(input_ids[:1]),
+                visual_feats=torch.tensor(feats[:1]),
+                visual_pos=torch.tensor(pos[:1]),
+                attention_mask=torch.tensor(mask[:1]))
+
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore
+
+    gen = gen_mod.GeneratorOursAblationNoAggregation(Usage)
+    # normalize_self_attention=False: with overwritten (non-aggregated)
+    # relevancies on random weights the reference's own handle_residual
+    # precondition (diag >= 1) fails — the published ablation runs
+    # without normalisation
+    want_tt, want_ti = gen.generate_ours_no_agg(
+        None, index=int(targets[0]), use_lrp=False,
+        normalize_self_attention=False)
+
+    batch = {
+        "input_ids": jnp.asarray(input_ids[:1]),
+        "attention_mask": jnp.asarray(mask[:1]),
+        "visual_feats": jnp.asarray(feats[:1]),
+        "visual_pos": jnp.asarray(pos[:1]),
+    }
+    _, attn, grads = jlx.capture(jax_params, batch,
+                                 jnp.asarray(targets.numpy()[:1]), CFG)
+    got_tt, got_ti = expl_lx.generate_ours_no_agg(
+        attn, grads, normalize_self_attention=False)
+    np.testing.assert_allclose(np.asarray(got_tt[0]),
+                               want_tt.detach().numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_ti[0]),
+                               want_ti.detach().numpy(), atol=1e-4)
+
+
+@requires_reference
+def test_no_normalization_ablation_parity(ref_model, ref_run, jax_params):
+    """normalize_self_attention=False + apply_self_in_rule_10=False."""
+    import importlib
+    import torch
+
+    gen_mod = importlib.import_module(
+        "lxmert.lxmert.src.ExplanationGenerator")
+    input_ids, mask, feats, pos, _, targets = ref_run
+
+    class Usage:
+        model = ref_model
+        text_len = St
+        image_boxes_len = Sv
+
+        @staticmethod
+        def forward(item):
+            return ref_model(
+                input_ids=torch.tensor(input_ids[:1]),
+                visual_feats=torch.tensor(feats[:1]),
+                visual_pos=torch.tensor(pos[:1]),
+                attention_mask=torch.tensor(mask[:1]))
+
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore
+
+    for norm, self10 in ((False, True), (True, False)):
+        ours = gen_mod.GeneratorOurs(Usage)
+        want_tt, want_ti = ours.generate_ours(
+            None, index=int(targets[0]), use_lrp=False,
+            normalize_self_attention=norm, apply_self_in_rule_10=self10)
+        batch = {
+            "input_ids": jnp.asarray(input_ids[:1]),
+            "attention_mask": jnp.asarray(mask[:1]),
+            "visual_feats": jnp.asarray(feats[:1]),
+            "visual_pos": jnp.asarray(pos[:1]),
+        }
+        _, attn, grads = jlx.capture(jax_params, batch,
+                                     jnp.asarray(targets.numpy()[:1]), CFG)
+        got_tt, got_ti = expl_lx.generate_ours(
+            attn, grads, normalize_self_attention=norm,
+            apply_self_in_rule_10=self10)
+        np.testing.assert_allclose(
+            np.asarray(got_tt[0]), want_tt.detach().numpy(), atol=1e-4,
+            err_msg=f"norm={norm} self10={self10}")
+        np.testing.assert_allclose(
+            np.asarray(got_ti[0]), want_ti.detach().numpy(), atol=1e-4,
+            err_msg=f"norm={norm} self10={self10}")
+
+
 def test_baseline_shapes(jax_params):
     input_ids, mask, feats, pos = make_batch()
     batch = {

@@ -113,12 +113,15 @@ def forward(
     images: jnp.ndarray,
     cfg: ViTConfig = VIT_B_16,
     taps: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ViT forward. images: [B, H, W, 3] (already normalised).
 
     ``taps``: optional [L, B, H, S, S] additive attention-probability
     taps (zeros for capture). Returns ``(logits [B, C],
-    attn_probs [L, B, H, S, S])``.
+    attn_probs [L, B, H, S, S])``. ``remat`` checkpoints each block
+    (recompute-in-backward) — trades ~⅓ more FLOPs for dropping the
+    per-layer activation residuals, unlocking larger capture batches.
     """
     B = images.shape[0]
     x = patchify(images, cfg.patch_size) @ params["patch_embed"]["w"]
@@ -143,6 +146,9 @@ def forward(
         h = h @ p["mlp"]["w2"] + p["mlp"]["b2"]
         return x + h, probs
 
+    if remat:
+        block = jax.checkpoint(block,
+                               policy=jax.checkpoint_policies.nothing_saveable)
     x, attn = jax.lax.scan(block, x, (params["blocks"], taps))
     x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"], cfg.ln_eps)
     logits = x[:, 0] @ params["head"]["w"] + params["head"]["b"]
@@ -154,6 +160,7 @@ def capture(
     images: jnp.ndarray,
     targets: jnp.ndarray,
     cfg: ViTConfig = VIT_B_16,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused fwd+bwd: returns (logits, A, ∇A), each [L, B, H, S, S]
     for A/∇A. ``targets``: [B] int class indices (the explained logits).
@@ -166,7 +173,7 @@ def capture(
     shape = (cfg.depth, B, cfg.num_heads, cfg.seq_len, cfg.seq_len)
 
     def score_fn(taps):
-        logits, attn = forward(params, images, cfg, taps)
+        logits, attn = forward(params, images, cfg, taps, remat=remat)
         score = jnp.take_along_axis(logits, targets[:, None], axis=1).sum()
         return score, (logits, attn)
 
@@ -182,6 +189,7 @@ def relevancy(
     targets: jnp.ndarray,
     cfg: ViTConfig = VIT_B_16,
     start_layer: int = 0,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """The ViT notebook's ``generate_relevance``: per-image [S-1] patch
     relevancy (CLS row minus the CLS entry), batched.
@@ -189,7 +197,7 @@ def relevancy(
     ViT notebook cell 7: R = I; per block R += avg_heads(A, ∇A) @ R;
     return R[0, 1:].
     """
-    _, attn, grads = capture(params, images, targets, cfg)
+    _, attn, grads = capture(params, images, targets, cfg, remat=remat)
     # [L, B, H, S, S] -> batch-first for vmap
     attn_b = jnp.moveaxis(attn, 1, 0)
     grads_b = jnp.moveaxis(grads, 1, 0)
