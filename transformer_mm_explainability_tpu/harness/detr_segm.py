@@ -76,7 +76,8 @@ def explain_image(
     pad_valid: Optional[jnp.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Full per-image pipeline → dict with detections + binary masks."""
-    out = detr_model.forward(params, image[None], pad_valid, cfg)
+    batch_valid = None if pad_valid is None else pad_valid[None]
+    out = detr_model.forward(params, image[None], batch_valid, cfg)
     logits = np.asarray(out["pred_logits"][0])
     q, c, valid = keep_detections(
         logits, segm_cfg.confidence_threshold, segm_cfg.max_detections)
