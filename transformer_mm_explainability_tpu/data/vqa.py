@@ -134,6 +134,28 @@ class VQADataset:
         return items[:num_samples]
 
 
+class GQADataset(VQADataset):
+    """GQA question records (lxmert/src/tasks/gqa_data.py layout —
+    same json schema as VQA: question_id/img_id/sent/label)."""
+
+
+class NLVR2Dataset:
+    """NLVR2 records (lxmert/src/tasks/nlvr2_data.py): two images per
+    sentence, binary label. Records: {uid, img0, img1, sent, label}."""
+
+    def __init__(self, question_paths: List[str]):
+        self.data: List[Dict[str, Any]] = []
+        for p in question_paths:
+            self.data.extend(json.load(open(p)))
+        self.by_uid = {d["uid"]: d for d in self.data}
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        return self.data[i]
+
+
 class FeatureStore:
     """img_id → padded feature dict (features_database equivalent).
 
