@@ -38,9 +38,9 @@ from transformer_mm_explainability_tpu.ops.attention import (
 @dataclasses.dataclass(frozen=True)
 class CLIPConfig:
     embed_dim: int = 512
-    # vision
+    # vision: int = ViT depth; tuple = ModifiedResNet stage sizes
     image_resolution: int = 224
-    vision_layers: int = 12
+    vision_layers: Any = 12
     vision_width: int = 768
     vision_patch_size: int = 32
     # text
@@ -51,7 +51,13 @@ class CLIPConfig:
     transformer_layers: int = 12
 
     @property
+    def is_resnet(self) -> bool:
+        return isinstance(self.vision_layers, (tuple, list))
+
+    @property
     def vision_heads(self) -> int:
+        if self.is_resnet:
+            return self.vision_width * 32 // 64  # model.py:269
         return self.vision_width // 64
 
     @property
@@ -72,11 +78,15 @@ class Taps(NamedTuple):
 
 def zero_taps(cfg: CLIPConfig, n_images: int, n_texts: int,
               dtype: jnp.dtype = jnp.float32) -> Taps:
-    Sv, St = cfg.vision_seq_len, cfg.context_length
+    St = cfg.context_length
+    if cfg.is_resnet:
+        visual = jnp.zeros((0,), dtype)  # no attention capture in the RN tower
+    else:
+        Sv = cfg.vision_seq_len
+        visual = jnp.zeros(
+            (cfg.vision_layers, n_images, cfg.vision_heads, Sv, Sv), dtype)
     return Taps(
-        visual=jnp.zeros(
-            (cfg.vision_layers, n_images, cfg.vision_heads, Sv, Sv), dtype
-        ),
+        visual=visual,
         text=jnp.zeros(
             (cfg.transformer_layers, n_texts, cfg.transformer_heads, St, St),
             dtype,
@@ -163,6 +173,12 @@ def encode_image(
     taps: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """images: [B, H, W, 3] normalised. Returns (features [B, E], attn)."""
+    if cfg.is_resnet:
+        from transformer_mm_explainability_tpu.models import clip_resnet
+
+        feats = clip_resnet.forward(params["visual"], images,
+                                    cfg.vision_heads)
+        return feats, jnp.zeros((0,), images.dtype)
     v = params["visual"]
     B, H, W, _ = images.shape
     P = cfg.vision_patch_size

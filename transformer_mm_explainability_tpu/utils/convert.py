@@ -102,6 +102,8 @@ def clip_from_state_dict(sd: Mapping[str, Any], **config_overrides):
 
     from transformer_mm_explainability_tpu.models.clip import CLIPConfig
 
+    if "visual.proj" not in sd:
+        return _clip_resnet_from_state_dict(sd, config_overrides)
     vision_width = _np(sd["visual.conv1.weight"]).shape[0]
     patch = _np(sd["visual.conv1.weight"]).shape[-1]
     vision_layers = len({
@@ -139,6 +141,57 @@ def clip_from_state_dict(sd: Mapping[str, Any], **config_overrides):
         "text": {
             "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"])),
             "positional_embedding": jnp.asarray(_np(sd["positional_embedding"])),
+            "blocks": _clip_tower(sd, "transformer", cfg.transformer_layers),
+            "ln_final": _ln(sd, "ln_final"),
+            "text_projection": jnp.asarray(_np(sd["text_projection"])),
+        },
+        "logit_scale": jnp.asarray(_np(sd["logit_scale"])),
+    }
+    return params, cfg
+
+
+def _clip_resnet_from_state_dict(sd: Mapping[str, Any], config_overrides):
+    """RN-family CLIP (build_model's ResNet branch, model.py:409-418):
+    stage sizes counted from layerN block keys, width from the stem."""
+    import dataclasses as _dc
+
+    from transformer_mm_explainability_tpu.models import clip_resnet
+    from transformer_mm_explainability_tpu.models.clip import CLIPConfig
+
+    counts = []
+    si = 1
+    while f"visual.layer{si}.0.conv1.weight" in sd:
+        bi = 0
+        while f"visual.layer{si}.{bi}.conv1.weight" in sd:
+            bi += 1
+        counts.append(bi)
+        si += 1
+    vision_width = _np(sd["visual.layer1.0.conv1.weight"]).shape[1]
+    embed_dim = _np(sd["visual.attnpool.c_proj.weight"]).shape[0]
+    spacial = int(round((_np(
+        sd["visual.attnpool.positional_embedding"]).shape[0] - 1) ** 0.5))
+    cfg = CLIPConfig(
+        embed_dim=embed_dim,
+        image_resolution=spacial * 32,
+        vision_layers=tuple(counts),
+        vision_width=vision_width,
+        vision_patch_size=32,
+        context_length=_np(sd["positional_embedding"]).shape[0],
+        vocab_size=_np(sd["token_embedding.weight"]).shape[0],
+        transformer_width=_np(sd["ln_final.weight"]).shape[0],
+        transformer_heads=_np(sd["ln_final.weight"]).shape[0] // 64,
+        transformer_layers=len({
+            k.split(".")[2] for k in sd
+            if k.startswith("transformer.resblocks.")}),
+    )
+    if config_overrides:
+        cfg = _dc.replace(cfg, **config_overrides)
+    params = {
+        "visual": clip_resnet.from_state_dict(sd),
+        "text": {
+            "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"])),
+            "positional_embedding": jnp.asarray(
+                _np(sd["positional_embedding"])),
             "blocks": _clip_tower(sd, "transformer", cfg.transformer_layers),
             "ln_final": _ln(sd, "ln_final"),
             "text_projection": jnp.asarray(_np(sd["text_projection"])),
