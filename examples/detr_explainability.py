@@ -41,16 +41,21 @@ def main():
             load_detr)
 
         params, cfg = load_detr(args.checkpoint)
+        shortest, longest, max_det = 512, 800, 8
     else:
-        print("note: no --checkpoint; random weights (smoke mode)")
-        cfg = jdetr.DETR_R50
+        print("note: no --checkpoint; tiny random model (smoke mode)")
+        cfg = jdetr.DETRConfig(num_classes=91, num_queries=20, d_model=64,
+                               nheads=8, num_encoder_layers=2,
+                               num_decoder_layers=2, dim_feedforward=128)
         params = jdetr.init_params(jax.random.PRNGKey(0), cfg)
+        shortest, longest, max_det = 128, 256, 4
 
     raw = np.asarray(Image.open(args.image).convert("RGB"))
-    img, valid = detr_eval.prepare_image(raw, shortest=512, longest=800)
+    img, valid = detr_eval.prepare_image(raw, shortest=shortest,
+                                         longest=longest)
     out = detr_segm.explain_image(
         params, img, cfg,
-        detr_segm.SegmConfig(method=args.method, max_detections=8,
+        detr_segm.SegmConfig(method=args.method, max_detections=max_det,
                              confidence_threshold=0.5),
         pad_valid=valid)
     kept = out["valid"]
