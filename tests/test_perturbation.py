@@ -108,3 +108,29 @@ def test_auc():
     accs = np.asarray([1.0, 0.8, 0.6, 0.4, 0.2, 0.2, 0.2, 0.1, 0.0])
     a = pert.auc(accs, pert.TEXT_STEPS)
     assert 0.0 < a < 1.0
+
+
+def test_image_perturbation_batch_matches_single():
+    """Batched multi-sample pert == per-sample pert."""
+    params, _ = setup()
+    f = scores_fn(params)
+    rng = np.random.RandomState(3)
+    N, S_t, N_v = 3, 8, 6
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(1, 50, (N, S_t))),
+        "input_mask": jnp.asarray(np.ones((N, S_t), np.int32)),
+        "visual_embeddings": jnp.asarray(
+            rng.randn(N, N_v, 16).astype(np.float32)),
+    }
+    cams = jnp.asarray(rng.rand(N, N_v).astype(np.float32))
+    targets = jnp.asarray(np.eye(7, dtype=np.float32)[[1, 3, 5]])
+    got = pert.run_image_perturbation_batch(
+        f, batch, cams, targets, pert.IMAGE_STEPS_VISUALBERT, positive=True)
+    assert got.shape == (N, 9)
+    for i in range(N):
+        single = {k: v[i:i + 1] for k, v in batch.items()}
+        want = pert.run_image_perturbation(
+            f, single, cams[i], targets[i], pert.IMAGE_STEPS_VISUALBERT,
+            positive=True)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   atol=1e-6, err_msg=f"sample {i}")

@@ -148,6 +148,39 @@ def run_text_perturbation(
     return targets[jnp.argmax(scores, axis=-1)]
 
 
+def run_image_perturbation_batch(
+    forward_scores: Callable[[Dict[str, jnp.ndarray]], jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],      # leaves [N, ...]
+    cam_image: jnp.ndarray,             # [N, N_boxes]
+    targets: jnp.ndarray,               # [N, num_labels]
+    steps: Sequence[float],
+    positive: bool,
+    num_boxes: Optional[jnp.ndarray] = None,   # [N]
+    visual_mask_key: str = "visual_mask",
+) -> jnp.ndarray:
+    """Multi-sample variant: N samples × n_steps ride one batch axis
+    (B = N·n_steps) through a single ordinary forward.
+    Returns [N, n_steps] per-step accuracies."""
+    N, Nb = cam_image.shape
+    cam = -cam_image if positive else cam_image
+    if num_boxes is None:
+        num_boxes = jnp.full((N,), Nb)
+    steps_arr = jnp.asarray(steps)
+    n_steps = len(steps)
+    num_keep = ((1.0 - steps_arr)[None, :]
+                * num_boxes[:, None]).astype(jnp.int32)      # [N, S]
+    keeps = jax.vmap(lambda c, ks, nb: jax.vmap(
+        lambda k: topk_keep_mask(c, k, valid=jnp.arange(Nb) < nb))(ks)
+    )(cam, num_keep, num_boxes)                              # [N, S, Nb]
+
+    big = {k: jnp.repeat(v, n_steps, axis=0) for k, v in batch.items()}
+    big[visual_mask_key] = keeps.reshape(N * n_steps, Nb).astype(jnp.int32)
+    scores = forward_scores(big).reshape(N, n_steps, -1)
+    picked = jnp.take_along_axis(
+        targets[:, None, :], scores.argmax(-1)[..., None], axis=2)[..., 0]
+    return picked
+
+
 def auc(step_accs: np.ndarray, steps: Sequence[float]) -> float:
     """Area under the per-step accuracy curve (trapezoidal over the
     perturbation fractions) — the paper's summary metric."""
