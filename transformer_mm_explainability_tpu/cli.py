@@ -103,8 +103,8 @@ def cmd_explain_vit(args) -> int:
         params = vit.init_params(jax.random.PRNGKey(args.seed), cfg)
 
     raw = np.asarray(Image.open(args.image).convert("RGB"))
-    pre = img_ops.clip_preprocess(jnp.asarray(raw), cfg.image_size)
-    # ImageNet stats for ViT (timm transform)
+    # timm vit_base_patch16_224 transform: bicubic resize + center crop,
+    # 0.5/0.5 normalisation
     img = img_ops.normalize(
         img_ops.center_crop(
             img_ops.resize_shortest_edge(
@@ -112,7 +112,6 @@ def cmd_explain_vit(args) -> int:
                 method="bicubic"),
             cfg.image_size),
         (0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
-    del pre
     logits, _ = vit.forward(params, img[None], cfg)
     target = (int(np.argmax(np.asarray(logits[0])))
               if args.class_index is None else args.class_index)

@@ -277,10 +277,11 @@ def run_from_args(args) -> int:
 
 
 def _load_vb(path, cfg):
-    raise NotImplementedError(
-        "MMF visual_bert checkpoint conversion: load the torch .ckpt and "
-        "pass through utils.convert.bert_encoder_from_state_dict — "
-        "wired in utils/mmf_loader.py")
+    from transformer_mm_explainability_tpu.utils.mmf_loader import (
+        load_visual_bert)
+
+    params, _ = load_visual_bert(path, cfg)
+    return params
 
 
 def _smoke(args) -> int:

@@ -85,8 +85,7 @@ def mha_relprop(
     collapse = post_zero & ~pre_zero
     k_sum, q_sum = cam_k_in.sum(), cam_q_in.sum()
     tot = jnp.abs(k_sum) + jnp.abs(q_sum)
-    R_total = _split_heads(lrp.linear_alpha_beta(R, ctx, p.w_out, alpha),
-                           H).sum()
+    R_total = cam.sum()  # = the reference's cam_attn_output.sum()
     k_fact = lrp.safe_divide(jnp.abs(k_sum), tot) * R_total
     q_fact = lrp.safe_divide(jnp.abs(q_sum), tot) * R_total
     cam_k_in = jnp.where(collapse,

@@ -312,7 +312,10 @@ def forward(
         "obj_probs": obj_probs,
         "attr_ids": attr_scores[:, 1:].argmax(-1),
         "attr_probs": attr_scores[:, 1:].max(-1),
-        "valid": det_ok | True,  # padded to max_detections by design
+        # reference runs MIN_DETECTIONS == MAX_DETECTIONS == 36: every
+        # slot is used (below-threshold slots backfilled above)
+        "valid": jnp.ones_like(det_ok),
+        "above_threshold": det_ok,
     }
 
 
