@@ -47,12 +47,14 @@ def main():
         # relevancy accumulation (the parity-critical reductions)
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    # remat: recompute block activations in the backward — the A/∇A
-    # capture stacks then dominate HBM and B=128+ fits
-    fn = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg,
-                                                 remat=on_tpu))
+    # streamed path: per-layer VJPs fold Ê into the rollout product
+    # during the backward — no [L,B,H,S,S] stacks at all
+    if on_tpu:
+        fn = jax.jit(lambda p, im, tg: vit.relevancy_streamed(p, im, tg, cfg))
+    else:
+        fn = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))
 
-    B = 128 if on_tpu else 4
+    B = 256 if on_tpu else 4
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
     if on_tpu:

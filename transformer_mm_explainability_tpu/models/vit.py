@@ -183,6 +183,78 @@ def capture(
     return logits, attn, grads
 
 
+def relevancy_streamed(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    targets: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+) -> jnp.ndarray:
+    """Memory-streamed ``relevancy``: never materialises the
+    [L, B, H, S, S] attention/gradient stacks.
+
+    Forward tapes only the per-layer block inputs ([L, B, S, D]); the
+    reverse pass is a ``lax.scan`` running per-layer VJPs — each step
+    recomputes one block, extracts that layer's (A, ∇A), folds it into
+    the rollout product P ← P·(I + Ê_l), and frees the buffers. Exactly
+    equal to ``relevancy`` (same math, same fp32 accumulations); HBM
+    drops from O(L·B·H·S²) to O(B·H·S²), unlocking much larger batches.
+    """
+    B = images.shape[0]
+    H, S, D = cfg.num_heads, cfg.seq_len, cfg.width
+    stacked = params["blocks"]
+
+    def block(x, p, tap):
+        h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
+        attn_out, probs = multi_head_self_attention(
+            p["attn"], h, cfg.num_heads, tap=tap)
+        x = x + attn_out
+        h = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
+        h = gelu(h @ p["mlp"]["w1"] + p["mlp"]["b1"])
+        h = h @ p["mlp"]["w2"] + p["mlp"]["b2"]
+        return x + h, probs
+
+    # --- forward, taping block inputs only --------------------------------
+    x = patchify(images, cfg.patch_size) @ params["patch_embed"]["w"]
+    x = x + params["patch_embed"]["b"]
+    cls = jnp.broadcast_to(params["cls_token"], (B, 1, D))
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    zero_tap = jnp.zeros((B, H, S, S), x.dtype)
+
+    def fwd_step(x, p):
+        x_out, _ = block(x, p, zero_tap)
+        return x_out, x  # tape the INPUT
+
+    x_final, tape = jax.lax.scan(fwd_step, x, stacked)
+
+    # --- head cotangent -----------------------------------------------------
+    def head_fn(xf):
+        h = layer_norm(xf, params["norm"]["scale"], params["norm"]["bias"],
+                       cfg.ln_eps)
+        logits = h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+        return jnp.take_along_axis(logits, targets[:, None], axis=1).sum()
+
+    cot_x = jax.grad(head_fn)(x_final)
+
+    # --- reverse: per-layer VJP + rollout fold ------------------------------
+    def bwd_step(carry, inputs):
+        cot_x, P = carry
+        p, x_in = inputs
+        (x_out, probs), vjp = jax.vjp(
+            lambda xi, tap: block(xi, p, tap), x_in, zero_tap)
+        cot_x_in, grad_A = vjp((cot_x, jnp.zeros_like(probs)))
+        prod = (grad_A.astype(jnp.float32) * probs.astype(jnp.float32))
+        e_hat = jnp.maximum(prod, 0.0).mean(axis=1)            # [B, S, S]
+        # P accumulates right-to-left: P ← P(I + Ê_l) over l = L..1
+        P = P + jnp.einsum("bij,bjk->bik", P, e_hat,
+                           preferred_element_type=jnp.float32)
+        return (cot_x_in, P), None
+
+    P0 = jnp.broadcast_to(jnp.eye(S, dtype=jnp.float32), (B, S, S))
+    (_, P), _ = jax.lax.scan(bwd_step, (cot_x, P0), (stacked, tape),
+                             reverse=True)
+    return P[:, 0, 1:]
+
+
 def relevancy(
     params: Dict[str, Any],
     images: jnp.ndarray,
