@@ -47,10 +47,13 @@ def main():
         # relevancy accumulation (the parity-critical reductions)
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    # streamed path: per-layer VJPs fold Ê into the rollout product
-    # during the backward — no [L,B,H,S,S] stacks at all
+    # row-streamed path: per-layer VJPs fold Ê into the CLS row of the
+    # rollout during the backward — no [L,B,H,S,S] stacks, and the
+    # chain is vector-matrix. Produces exactly the notebook's
+    # generate_relevance output (R[0, 1:]).
     if on_tpu:
-        fn = jax.jit(lambda p, im, tg: vit.relevancy_streamed(p, im, tg, cfg))
+        fn = jax.jit(
+            lambda p, im, tg: vit.relevancy_streamed_row(p, im, tg, cfg))
     else:
         fn = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))
 

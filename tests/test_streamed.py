@@ -21,6 +21,17 @@ def test_streamed_equals_stacked():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_streamed_row_equals_stacked():
+    params = vit.init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    targets = jnp.asarray([3, 9])
+    a = vit.relevancy(params, images, targets, CFG)
+    b = vit.relevancy_streamed_row(params, images, targets, CFG)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_streamed_jits():
     params = vit.init_params(jax.random.PRNGKey(1), CFG)
     f = jax.jit(lambda p, im, tg: vit.relevancy_streamed(p, im, tg, CFG))

@@ -255,6 +255,75 @@ def relevancy_streamed(
     return P[:, 0, 1:]
 
 
+def relevancy_streamed_row(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    targets: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+    row: int = 0,
+) -> jnp.ndarray:
+    """Row-streamed ``relevancy``: computes ONLY the CLS row of R.
+
+    The notebook's output is ``R[0, 1:]`` — a single row of the rollout
+    product. Since R = (I+Ê_L)···(I+Ê_1), its row is
+    ``e_rowᵀ(I+Ê_L)···(I+Ê_1)``: the chain becomes L vector-matrix
+    products (O(L·S²) instead of O(L·S³)) folded into the same
+    per-layer-VJP reverse scan as ``relevancy_streamed``. Identical
+    values to ``relevancy(...)[:, row, 1:]`` — and the relevancy math
+    stops being the FLOPs bottleneck entirely.
+    """
+    B = images.shape[0]
+    H, S, D = cfg.num_heads, cfg.seq_len, cfg.width
+    stacked = params["blocks"]
+
+    def block(x, p, tap):
+        h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
+        attn_out, probs = multi_head_self_attention(
+            p["attn"], h, cfg.num_heads, tap=tap)
+        x = x + attn_out
+        h = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
+        h = gelu(h @ p["mlp"]["w1"] + p["mlp"]["b1"])
+        h = h @ p["mlp"]["w2"] + p["mlp"]["b2"]
+        return x + h, probs
+
+    x = patchify(images, cfg.patch_size) @ params["patch_embed"]["w"]
+    x = x + params["patch_embed"]["b"]
+    cls = jnp.broadcast_to(params["cls_token"], (B, 1, D))
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    zero_tap = jnp.zeros((B, H, S, S), x.dtype)
+
+    def fwd_step(x, p):
+        x_out, _ = block(x, p, zero_tap)
+        return x_out, x
+
+    x_final, tape = jax.lax.scan(fwd_step, x, stacked)
+
+    def head_fn(xf):
+        h = layer_norm(xf, params["norm"]["scale"], params["norm"]["bias"],
+                       cfg.ln_eps)
+        logits = h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+        return jnp.take_along_axis(logits, targets[:, None], axis=1).sum()
+
+    cot_x = jax.grad(head_fn)(x_final)
+
+    def bwd_step(carry, inputs):
+        cot_x, r = carry
+        p, x_in = inputs
+        (x_out, probs), vjp = jax.vjp(
+            lambda xi, tap: block(xi, p, tap), x_in, zero_tap)
+        cot_x_in, grad_A = vjp((cot_x, jnp.zeros_like(probs)))
+        prod = (grad_A.astype(jnp.float32) * probs.astype(jnp.float32))
+        e_hat = jnp.maximum(prod, 0.0).mean(axis=1)            # [B, S, S]
+        r = r + jnp.einsum("bj,bjk->bk", r, e_hat,
+                           preferred_element_type=jnp.float32)
+        return (cot_x_in, r), None
+
+    r0 = jnp.zeros((B, S), jnp.float32).at[:, row].set(1.0)
+    (_, r), _ = jax.lax.scan(bwd_step, (cot_x, r0), (stacked, tape),
+                             reverse=True)
+    return r[:, 1:]
+
+
 def relevancy(
     params: Dict[str, Any],
     images: jnp.ndarray,
