@@ -48,8 +48,7 @@ def main():
         from transformer_mm_explainability_tpu.utils.clip_loader import (
             load_lxmert_hf)
 
-        params, cfg = load_lxmert_hf(args.checkpoint), jlx.LXMERT_VQA
-        params = params[0] if isinstance(params, tuple) else params
+        params, cfg = load_lxmert_hf(args.checkpoint)
     else:
         print("note: no --checkpoint; random weights (smoke mode)")
         cfg = jlx.LXMERT_VQA

@@ -134,3 +134,28 @@ def test_image_perturbation_batch_matches_single():
             positive=True)
         np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
                                    atol=1e-6, err_msg=f"sample {i}")
+
+
+def test_text_packing_equals_physical_removal():
+    """Packed-prefix text perturbation == physically removing tokens
+    (the reference re-sorts kept tokens so positions stay contiguous —
+    perturbation.py:173-174; packing reproduces that exactly)."""
+    params, _ = setup()
+    f = scores_fn(params)
+    rng = np.random.RandomState(7)
+    ids = np.array([[49, 7, 8, 9, 10, 11, 12, 48]])  # CLS ... ? SEP
+    vis = rng.randn(1, 6, 16).astype(np.float32)
+    keep = np.array([True, False, True, True, False, False, True, True])
+
+    # packed path (static length 8, mask marks the 5 kept)
+    packed, mask = pert.gather_kept_prefix(jnp.asarray(ids[0]),
+                                           jnp.asarray(keep))
+    got = f({"input_ids": packed[None], "input_mask": mask[None],
+             "visual_embeddings": jnp.asarray(vis)})[0]
+
+    # physical removal (shorter static length 5)
+    kept_ids = ids[0][keep][None]
+    want = f({"input_ids": jnp.asarray(kept_ids),
+              "input_mask": jnp.asarray(np.ones((1, 5), np.int32)),
+              "visual_embeddings": jnp.asarray(vis)})[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -73,9 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("detr-eval",
                         help="DETR explanation-segmentation eval")
-    sp.add_argument("--coco-path", default=None)
+    sp.add_argument("--coco-path", default=None,
+                    help="dir containing annotations json + images")
+    sp.add_argument("--annotations", default=None,
+                    help="instances json (defaults to "
+                         "<coco-path>/annotations/instances_val2017.json)")
     sp.add_argument("--masks", action="store_true")
     sp.add_argument("--max-images", type=int, default=None)
+    sp.add_argument("--shortest", type=int, default=800)
     common(sp)
 
     sp = sub.add_parser("bench", help="run the ViT-B throughput bench")
@@ -174,10 +179,39 @@ def cmd_perturbation(args) -> int:
 
 
 def cmd_detr_eval(args) -> int:
-    print("detr-eval: COCO evaluation requires --coco-path with val "
-          "images+annotations; see harness/detr_segm.py for the "
-          "programmatic API.")
-    return 0 if args.coco_path is None else 1
+    import os
+
+    if not args.coco_path:
+        print("detr-eval: pass --coco-path DIR (images) and "
+              "--annotations instances.json; see harness/detr_eval.py "
+              "for the programmatic API.")
+        return 0
+
+    import jax
+
+    from transformer_mm_explainability_tpu.data.coco import CocoDetection
+    from transformer_mm_explainability_tpu.harness import (detr_eval,
+                                                           detr_segm)
+    from transformer_mm_explainability_tpu.models import detr as jdetr
+
+    ann = args.annotations or os.path.join(
+        args.coco_path, "annotations", "instances_val2017.json")
+    dataset = CocoDetection(ann, image_root=args.coco_path)
+    if args.checkpoint:
+        from transformer_mm_explainability_tpu.utils.clip_loader import (
+            load_detr)
+
+        params, cfg = load_detr(args.checkpoint)
+    else:
+        print("note: no --checkpoint; random weights (protocol smoke)")
+        cfg = jdetr.DETR_R50
+        params = jdetr.init_params(jax.random.PRNGKey(args.seed), cfg)
+    result = detr_eval.evaluate(
+        params, dataset, cfg,
+        detr_segm.SegmConfig(method=args.method),
+        max_images=args.max_images, shortest=args.shortest)
+    print(json.dumps(result))
+    return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:

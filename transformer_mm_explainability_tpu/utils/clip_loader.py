@@ -57,21 +57,23 @@ def load_timm_vit(path: str):
 
 def load_lxmert_hf(path: str, cfg=None):
     """HF lxmert (e.g. unc-nlp/lxmert-vqa-uncased pytorch_model.bin) →
-    params for models/lxmert. ``cfg`` defaults to LXMERT_VQA."""
+    (params, cfg) for models/lxmert. ``cfg`` defaults to LXMERT_VQA."""
     torch = _torch()
     from transformer_mm_explainability_tpu.models.lxmert import LXMERT_VQA
     from transformer_mm_explainability_tpu.utils import convert
 
+    cfg = cfg or LXMERT_VQA
     sd = _to_state_dict(torch.load(path, map_location="cpu"))
-    return convert.lxmert_from_state_dict(sd, cfg or LXMERT_VQA)
+    return convert.lxmert_from_state_dict(sd, cfg), cfg
 
 
 def load_detr(path: str, cfg=None):
     """DETR release checkpoint (detr-r50-e632da11.pth style) →
-    params for models/detr (backbone + transformer + heads)."""
+    (params, cfg) for models/detr (backbone + transformer + heads)."""
     torch = _torch()
     from transformer_mm_explainability_tpu.models.detr import DETR_R50
     from transformer_mm_explainability_tpu.utils import convert
 
+    cfg = cfg or DETR_R50
     sd = _to_state_dict(torch.load(path, map_location="cpu"))
-    return convert.detr_from_state_dict(sd, cfg or DETR_R50)
+    return convert.detr_from_state_dict(sd, cfg), cfg
