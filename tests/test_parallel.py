@@ -81,3 +81,21 @@ def test_param_sharding_layout():
     assert spec[-1] == "tp"  # column-parallel qkv
     w2 = params["blocks"]["mlp"]["w2"]
     assert w2.sharding.spec[1] == "tp"  # row-parallel mlp out
+
+
+def test_sharded_streamed_relevancy():
+    """The streamed (row) relevancy path works over a dp-sharded batch."""
+    mesh = pmesh.make_mesh(jax.devices())
+    params = pmesh.shard_params(vit.init_params(jax.random.PRNGKey(0), CFG),
+                                mesh)
+    batch = make_batch(8)
+    images = pmesh.shard_batch({"x": batch["images"]}, mesh)["x"]
+    with mesh:
+        out = jax.jit(
+            lambda p, im, tg: vit.relevancy_streamed_row(p, im, tg, CFG)
+        )(params, images, jnp.zeros((8,), jnp.int32))
+    assert out.shape == (8, CFG.seq_len - 1)
+    ref = vit.relevancy(vit.init_params(jax.random.PRNGKey(0), CFG),
+                        batch["images"], jnp.zeros((8,), jnp.int32), CFG)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
