@@ -93,3 +93,32 @@ def test_run_loop_aggregates(capsys):
     np.testing.assert_allclose(out, [1.0, 0.5, 0.0])
     text = capsys.readouterr().out
     assert "step_accuracies" in text and "auc" in text
+
+
+def test_visual_bert_batched_matches_per_sample():
+    cfg = vb.VisualBERTConfig(
+        bert=jbert.BertConfig(vocab_size=80, hidden_size=32,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              intermediate_size=48,
+                              max_position_embeddings=30),
+        visual_embedding_dim=16, num_labels=9)
+    params = vb.init_params(jax.random.PRNGKey(0), cfg)
+    runner = VisualBertPerturbationRunner(params, cfg, "ours_no_lrp",
+                                          positive=False, text_pert=False)
+    rng = np.random.RandomState(4)
+    N = 3
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(1, 79, (N, 10))),
+        "input_mask": jnp.asarray(np.ones((N, 10), np.int32)),
+        "visual_embeddings": jnp.asarray(
+            rng.randn(N, 7, 16).astype(np.float32)),
+    }
+    soft = np.zeros((N, 9), np.float32)
+    soft[np.arange(N), [2, 5, 7]] = 1.0
+    got = runner.run_samples_batched(batch, soft)
+    assert got.shape == (N, 9)
+    for i in range(N):
+        single = {k: v[i:i + 1] for k, v in batch.items()}
+        want = runner.run_sample(single, soft[i])
+        np.testing.assert_allclose(got[i], want, atol=1e-6,
+                                   err_msg=f"sample {i}")

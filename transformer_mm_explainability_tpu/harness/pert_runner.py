@@ -99,6 +99,50 @@ class VisualBertPerturbationRunner:
                               jnp.asarray(soft_targets), text_len)
         return np.asarray(accs)
 
+    def run_samples_batched(self, batch: Dict[str, jnp.ndarray],
+                            soft_targets: jnp.ndarray) -> np.ndarray:
+        """Image-perturbation fast path: N samples explained in one
+        capture and perturbed in one (N·steps)-batched forward.
+        ``batch`` leaves have a leading N axis; ``soft_targets``
+        [N, num_labels]. Returns [N, n_steps]."""
+        assert not self.text_pert, "batched mode implements image pert"
+        if not hasattr(self, "_batched"):
+            vb, evb = self._vb, self._evb
+            cfg, method, positive = self.cfg, self.method, self.positive
+            steps = self.steps
+
+            @jax.jit
+            def batched(params, batch, targets_soft):
+                targets = jnp.argmax(targets_soft, axis=-1)
+                scores, attn, grads = vb.capture(params, batch, targets, cfg)
+                cls_index = batch["input_mask"].sum(axis=1) - 2
+                if method == "ours_no_lrp":
+                    cam = evb.generate_ours(attn, grads, cls_index)
+                elif method == "raw_attn":
+                    cam = evb.generate_raw_attn(attn, cls_index)
+                elif method == "rollout":
+                    cam = evb.generate_rollout(attn, cls_index)
+                elif method == "attn_gradcam":
+                    cam = evb.generate_attn_gradcam(attn, grads, cls_index)
+                else:
+                    raise ValueError(method)
+                S_text = batch["input_ids"].shape[1]
+
+                def fwd_scores(b):
+                    out = vb.forward(
+                        params, b["input_ids"], b["input_mask"],
+                        b.get("visual_embeddings"),
+                        visual_mask=b.get("visual_mask"), cfg=cfg)
+                    return out["scores"]
+
+                return pert.run_image_perturbation_batch(
+                    fwd_scores, batch, cam[:, S_text:], targets_soft,
+                    steps, positive)
+
+            self._batched = batched
+        return np.asarray(self._batched(self.params, batch,
+                                        jnp.asarray(soft_targets)))
+
 
 def run_loop(runner, samples: Iterable, max_samples: int,
              printer=print) -> np.ndarray:
