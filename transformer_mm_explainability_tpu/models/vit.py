@@ -108,6 +108,26 @@ def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x.reshape(B, (H // P) * (W // P), P * P * C)
 
 
+def _block(x, p, tap, cfg: ViTConfig):
+    """One pre-LN transformer block; returns (x_out, attn_probs)."""
+    h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
+    attn_out, probs = multi_head_self_attention(
+        p["attn"], h, cfg.num_heads, tap=tap)
+    x = x + attn_out
+    h = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
+    h = gelu(h @ p["mlp"]["w1"] + p["mlp"]["b1"])
+    h = h @ p["mlp"]["w2"] + p["mlp"]["b2"]
+    return x + h, probs
+
+
+def _embed(params, images, cfg: ViTConfig):
+    B = images.shape[0]
+    x = patchify(images, cfg.patch_size) @ params["patch_embed"]["w"]
+    x = x + params["patch_embed"]["b"]
+    cls = jnp.broadcast_to(params["cls_token"], (B, 1, cfg.width))
+    return jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+
+
 def forward(
     params: Dict[str, Any],
     images: jnp.ndarray,
@@ -124,10 +144,7 @@ def forward(
     per-layer activation residuals, unlocking larger capture batches.
     """
     B = images.shape[0]
-    x = patchify(images, cfg.patch_size) @ params["patch_embed"]["w"]
-    x = x + params["patch_embed"]["b"]
-    cls = jnp.broadcast_to(params["cls_token"], (B, 1, cfg.width))
-    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    x = _embed(params, images, cfg)
 
     if taps is None:
         taps = jnp.zeros(
@@ -136,15 +153,7 @@ def forward(
 
     def block(x, layer):
         p, tap = layer
-        h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
-        attn_out, probs = multi_head_self_attention(
-            p["attn"], h, cfg.num_heads, tap=tap
-        )
-        x = x + attn_out
-        h = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
-        h = gelu(h @ p["mlp"]["w1"] + p["mlp"]["b1"])
-        h = h @ p["mlp"]["w2"] + p["mlp"]["b2"]
-        return x + h, probs
+        return _block(x, p, tap, cfg)
 
     if remat:
         block = jax.checkpoint(block,
@@ -204,20 +213,10 @@ def relevancy_streamed(
     stacked = params["blocks"]
 
     def block(x, p, tap):
-        h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
-        attn_out, probs = multi_head_self_attention(
-            p["attn"], h, cfg.num_heads, tap=tap)
-        x = x + attn_out
-        h = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
-        h = gelu(h @ p["mlp"]["w1"] + p["mlp"]["b1"])
-        h = h @ p["mlp"]["w2"] + p["mlp"]["b2"]
-        return x + h, probs
+        return _block(x, p, tap, cfg)
 
     # --- forward, taping block inputs only --------------------------------
-    x = patchify(images, cfg.patch_size) @ params["patch_embed"]["w"]
-    x = x + params["patch_embed"]["b"]
-    cls = jnp.broadcast_to(params["cls_token"], (B, 1, D))
-    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    x = _embed(params, images, cfg)
     zero_tap = jnp.zeros((B, H, S, S), x.dtype)
 
     def fwd_step(x, p):
@@ -277,19 +276,9 @@ def relevancy_streamed_row(
     stacked = params["blocks"]
 
     def block(x, p, tap):
-        h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
-        attn_out, probs = multi_head_self_attention(
-            p["attn"], h, cfg.num_heads, tap=tap)
-        x = x + attn_out
-        h = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
-        h = gelu(h @ p["mlp"]["w1"] + p["mlp"]["b1"])
-        h = h @ p["mlp"]["w2"] + p["mlp"]["b2"]
-        return x + h, probs
+        return _block(x, p, tap, cfg)
 
-    x = patchify(images, cfg.patch_size) @ params["patch_embed"]["w"]
-    x = x + params["patch_embed"]["b"]
-    cls = jnp.broadcast_to(params["cls_token"], (B, 1, D))
-    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    x = _embed(params, images, cfg)
     zero_tap = jnp.zeros((B, H, S, S), x.dtype)
 
     def fwd_step(x, p):
