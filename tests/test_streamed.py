@@ -38,3 +38,14 @@ def test_streamed_jits():
     out = f(params, jnp.zeros((2, 32, 32, 3)), jnp.zeros((2,), jnp.int32))
     assert out.shape == (2, CFG.seq_len - 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_remat_equals_plain():
+    params = vit.init_params(jax.random.PRNGKey(2), CFG)
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    targets = jnp.asarray([0, 5])
+    a = vit.relevancy(params, images, targets, CFG, remat=False)
+    b = vit.relevancy(params, images, targets, CFG, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
