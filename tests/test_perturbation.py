@@ -159,3 +159,32 @@ def test_text_packing_equals_physical_removal():
               "input_mask": jnp.asarray(np.ones((1, 5), np.int32)),
               "visual_embeddings": jnp.asarray(vis)})[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_text_perturbation_batch_matches_single():
+    params, _ = setup()
+    f = scores_fn(params)
+    rng = np.random.RandomState(9)
+    N, S_t, N_v = 2, 8, 6
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(1, 50, (N, S_t))),
+        "input_mask": jnp.asarray(np.ones((N, S_t), np.int32)),
+        "visual_embeddings": jnp.asarray(
+            rng.randn(N, N_v, 16).astype(np.float32)),
+    }
+    cams = jnp.asarray(rng.rand(N, S_t).astype(np.float32))
+    targets = jnp.asarray(np.eye(7, dtype=np.float32)[[2, 4]])
+    always = np.zeros((N, S_t), bool)
+    always[:, [0, 6, 7]] = True
+    text_len = jnp.asarray([8, 8])
+    got = pert.run_text_perturbation_batch(
+        f, batch, cams, targets, pert.TEXT_STEPS, positive=False,
+        always_keep=jnp.asarray(always), text_len=text_len)
+    assert got.shape == (N, 9)
+    for i in range(N):
+        single = {k: v[i:i + 1] for k, v in batch.items()}
+        want = pert.run_text_perturbation(
+            f, single, cams[i], targets[i], pert.TEXT_STEPS, positive=False,
+            always_keep=jnp.asarray(always[i]), text_len=text_len[i])
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   atol=1e-6, err_msg=f"sample {i}")

@@ -181,6 +181,49 @@ def run_image_perturbation_batch(
     return picked
 
 
+def run_text_perturbation_batch(
+    forward_scores: Callable[[Dict[str, jnp.ndarray]], jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],      # leaves [N, ...]
+    cam_text: jnp.ndarray,              # [N, S_text]
+    targets: jnp.ndarray,               # [N, num_labels]
+    steps: Sequence[float],
+    positive: bool,
+    always_keep: jnp.ndarray,           # [N, S_text] bool
+    text_len: jnp.ndarray,              # [N]
+    input_ids_key: str = "input_ids",
+    input_mask_key: str = "input_mask",
+) -> jnp.ndarray:
+    """Multi-sample text perturbation: N samples × n_steps in one
+    forward. Returns [N, n_steps]."""
+    N, S = cam_text.shape
+    cam = -cam_text if positive else cam_text
+    n_steps = len(steps)
+    steps_arr = jnp.asarray(steps)
+    valid = jnp.arange(S)[None, :] < text_len[:, None]
+    rankable = valid & ~always_keep
+    n_rankable = rankable.sum(axis=1)
+    num_keep = ((1.0 - steps_arr)[None, :]
+                * n_rankable[:, None]).astype(jnp.int32)       # [N, S_steps]
+
+    def build(c, ks, rk, ak, vd, ids):
+        def one(k):
+            keep_ranked = topk_keep_mask(c, k, valid=rk)
+            keep = (keep_ranked & rk) | (ak & vd)
+            return gather_kept_prefix(ids, keep)
+        return jax.vmap(one)(ks)
+
+    packed_ids, packed_mask = jax.vmap(build)(
+        cam, num_keep, rankable, always_keep, valid,
+        batch[input_ids_key])                                  # [N, S_steps, S]
+    big = {k: jnp.repeat(v, n_steps, axis=0) for k, v in batch.items()}
+    big[input_ids_key] = packed_ids.reshape(N * n_steps, S)
+    big[input_mask_key] = packed_mask.reshape(N * n_steps, S)
+    scores = forward_scores(big).reshape(N, n_steps, -1)
+    picked = jnp.take_along_axis(
+        targets[:, None, :], scores.argmax(-1)[..., None], axis=2)[..., 0]
+    return picked
+
+
 def auc(step_accs: np.ndarray, steps: Sequence[float]) -> float:
     """Area under the per-step accuracy curve (trapezoidal over the
     perturbation fractions) — the paper's summary metric."""
