@@ -7,8 +7,6 @@ same names. All are pure jnp and jit/vmap-safe.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax.numpy as jnp
 
 from transformer_mm_explainability_tpu.core.registry import registry

@@ -9,7 +9,7 @@ dozen bespoke ``register_*`` methods.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List
 
 
 class Registry:

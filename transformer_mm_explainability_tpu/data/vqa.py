@@ -20,9 +20,8 @@ from __future__ import annotations
 import base64
 import csv
 import json
-import os
 import sys
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 

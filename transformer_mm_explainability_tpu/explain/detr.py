@@ -16,7 +16,7 @@ per-element one-hots — K relevancy maps per XLA dispatch.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

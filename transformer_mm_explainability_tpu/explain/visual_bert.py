@@ -19,8 +19,6 @@ row over all S tokens with the CLS column zeroed.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -9,8 +9,6 @@ GradCAM), so ViT has the full strategy surface like the other models.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

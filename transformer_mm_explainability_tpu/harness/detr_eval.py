@@ -8,7 +8,7 @@ and scores with the pycocotools-free segm mAP (IoU band lowered to
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

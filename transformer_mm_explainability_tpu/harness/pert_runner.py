@@ -10,7 +10,7 @@ reference (evaluation_loop.py:167-169, perturbation.py:250-251).
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ from transformer_mm_explainability_tpu.models.bert import BertConfig
 from transformer_mm_explainability_tpu.ops import lrp
 from transformer_mm_explainability_tpu.ops.attention import (
     AttentionParams,
-    CrossAttentionParams,
     gelu,
     layer_norm,
     _merge_heads,

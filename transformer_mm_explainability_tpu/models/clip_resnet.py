@@ -10,8 +10,7 @@ same fused affine as the DETR frozen BN).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

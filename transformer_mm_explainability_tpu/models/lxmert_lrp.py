@@ -22,7 +22,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from transformer_mm_explainability_tpu.models import bert, bert_lrp
+from transformer_mm_explainability_tpu.models import bert_lrp
 from transformer_mm_explainability_tpu.models.lxmert import (
     LxmertConfig,
     LxmertTaps,

@@ -8,7 +8,6 @@ vector ops and runs on device inside the jitted mask pipeline.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

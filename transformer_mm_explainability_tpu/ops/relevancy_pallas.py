@@ -106,8 +106,8 @@ def self_attention_relevancy_pallas(
         _chain_kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, Sp, Sp), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),

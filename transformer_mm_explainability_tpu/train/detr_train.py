@@ -8,11 +8,8 @@ taking the assignment as data). The loss weights follow the reference
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from transformer_mm_explainability_tpu.models import detr as detr_model

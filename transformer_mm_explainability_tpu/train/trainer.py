@@ -24,8 +24,6 @@ import time
 from typing import Any, Callable, Dict, Iterable, List, Optional
 
 import jax
-import numpy as np
-
 from transformer_mm_explainability_tpu.core.meter import Meter
 from transformer_mm_explainability_tpu.train import checkpoint as ckpt
 from transformer_mm_explainability_tpu.train import steps as steps_lib

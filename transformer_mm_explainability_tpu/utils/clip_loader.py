@@ -11,7 +11,7 @@ CLIP/clip/clip.py:75-163) and returns (params, CLIPConfig).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 
 def _torch():

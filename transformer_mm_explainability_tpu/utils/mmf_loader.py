@@ -9,7 +9,6 @@ Converts onto models/visual_bert's pytree.
 
 from __future__ import annotations
 
-import os
 import tarfile
 from typing import Any, Dict, Mapping
 

@@ -1,0 +1,65 @@
+"""Registry wiring: the MMF-style string→component zoo.
+
+Importing this module populates the global registry the way MMF's
+``setup_imports`` does (registry.register_model("visual_bert") etc.,
+mmf/models/visual_bert.py:407, mmf_trainer.py:28), so harness code can
+resolve components by name:
+
+    from transformer_mm_explainability_tpu.zoo import registry
+    vb = registry.get("model", "visual_bert")
+    runner_cls = registry.get("trainer", "mmf_pert")
+"""
+
+from transformer_mm_explainability_tpu.core import metrics  # noqa: F401  (registers metrics)
+from transformer_mm_explainability_tpu.core.registry import registry
+from transformer_mm_explainability_tpu.explain import (
+    clip as explain_clip,
+    detr as explain_detr,
+    lxmert as explain_lxmert,
+    visual_bert as explain_visual_bert,
+    vit as explain_vit,
+)
+from transformer_mm_explainability_tpu.harness.pert_runner import (
+    LxmertPerturbationRunner,
+    VisualBertPerturbationRunner,
+)
+from transformer_mm_explainability_tpu.models import (
+    clip,
+    detr,
+    frcnn,
+    lxmert,
+    visual_bert,
+    vit,
+)
+from transformer_mm_explainability_tpu.train.trainer import Trainer
+
+_MODELS = {
+    "vit": vit,
+    "clip": clip,
+    "visual_bert": visual_bert,
+    "lxmert": lxmert,
+    "detr": detr,
+    "frcnn": frcnn,
+}
+_EXPLAINERS = {
+    "vit": explain_vit,
+    "clip": explain_clip,
+    "visual_bert": explain_visual_bert,
+    "lxmert": explain_lxmert,
+    "detr": explain_detr,
+}
+
+for _name, _mod in _MODELS.items():
+    if _name not in registry.list("model"):
+        registry.register("model", _name)(_mod)
+for _name, _mod in _EXPLAINERS.items():
+    if _name not in registry.list("explainer"):
+        registry.register("explainer", _name)(_mod)
+if "mmf" not in registry.list("trainer"):
+    registry.register_trainer("mmf")(Trainer)
+    # the reference's mmf_pert trainer == mmf trainer + the perturbation
+    # evaluation mixin; here the perturbation runners play that role
+    registry.register_trainer("mmf_pert")(VisualBertPerturbationRunner)
+    registry.register_trainer("lxmert_pert")(LxmertPerturbationRunner)
+
+__all__ = ["registry"]
