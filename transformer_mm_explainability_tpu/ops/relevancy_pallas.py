@@ -124,10 +124,6 @@ def self_attention_relevancy_pallas(
     return out[:, :S, :S]
 
 
-def _kernel_wrapper_squeeze(fn):
-    return fn
-
-
 def self_attention_relevancy_auto(cams_b, grads_b, start_layer: int = 0):
     """Dispatch: Pallas on TPU, jnp scan elsewhere. Inputs batch-first
     [B, L, H, S, S]."""
