@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--features", default=None, help="object-features TSV")
     sp.add_argument("--ans2label", default=None)
     sp.add_argument("--label2ans", default=None)
+    sp.add_argument("--bert-vocab", default=None,
+                    help="vocab.txt (bert-base-uncased layout)")
     common(sp)
 
     sp = sub.add_parser("detr-eval",

@@ -290,7 +290,9 @@ def run_from_args(args) -> int:
     dataset = vqa_data.VQADataset([args.questions], vocab)
     feats = vqa_data.FeatureStore(
         vqa_data.load_obj_tsv(args.features), max_boxes=100)
-    cfg = vb.VISUAL_BERT_VQA2
+    import dataclasses
+
+    cfg = dataclasses.replace(vb.VISUAL_BERT_VQA2, num_labels=len(vocab))
     import jax
 
     params = (vb.init_params(jax.random.PRNGKey(args.seed), cfg)
@@ -301,7 +303,11 @@ def run_from_args(args) -> int:
     from transformer_mm_explainability_tpu.data.tokenization import (
         BertTokenizer)
 
-    tok = BertTokenizer()
+    if not getattr(args, "bert_vocab", None):
+        print("perturbation: --bert-vocab vocab.txt is required with "
+              "--questions (WordPiece vocabulary)")
+        return 2
+    tok = BertTokenizer(vocab_path=args.bert_vocab)
 
     def gen():
         for item in dataset.sampled(args.num_samples, args.seed):
