@@ -101,3 +101,68 @@ def test_preprocess_bgr_mean():
     assert out.shape == (32, 32, 3)
     want = 128 - np.asarray([102.9801, 115.9465, 122.7717])
     np.testing.assert_allclose(out[0, 0], want, atol=1e-3)
+
+
+def test_frcnn_converter_roundtrip():
+    """Synthesize a detectron2-layout state dict (the unc-nlp key
+    schema) and convert; forward runs and shapes land."""
+    import torch
+
+    from transformer_mm_explainability_tpu.utils import convert
+
+    cfg = frcnn.FrcnnConfig(
+        stages=(1, 1, 1, 1), anchor_sizes=(32, 64), aspect_ratios=(1.0,),
+        pre_nms_topk=40, post_nms_topk=10, pooler_resolution=4,
+        num_classes=9, num_attrs=5, max_detections=4)
+    torch.manual_seed(0)
+    sd = {}
+
+    def conv(p, cout, cin, k, bias=False, norm=True):
+        sd[f"{p}.weight"] = torch.randn(cout, cin, k, k) * 0.05
+        if bias:
+            sd[f"{p}.bias"] = torch.zeros(cout)
+        if norm:
+            sd[f"{p}.norm.weight"] = torch.ones(cout)
+            sd[f"{p}.norm.bias"] = torch.zeros(cout)
+            sd[f"{p}.norm.running_mean"] = torch.zeros(cout)
+            sd[f"{p}.norm.running_var"] = torch.ones(cout)
+
+    def lin(p, din, dout):
+        sd[f"{p}.weight"] = torch.randn(dout, din) * 0.02
+        sd[f"{p}.bias"] = torch.zeros(dout)
+
+    conv("backbone.stem.conv1", 64, 3, 7)
+    in_ch = 64
+    for si in range(3):
+        mid = 64 * 2 ** si
+        p = f"backbone.res{si+2}.0"
+        conv(f"{p}.conv1", mid, in_ch, 1)
+        conv(f"{p}.conv2", mid, mid, 3)
+        conv(f"{p}.conv3", mid * 4, mid, 1)
+        conv(f"{p}.shortcut", mid * 4, in_ch, 1)
+        in_ch = mid * 4
+    p = "roi_heads.res5.0"
+    mid = 512
+    conv(f"{p}.conv1", mid, in_ch, 1)
+    conv(f"{p}.conv2", mid, mid, 3)
+    conv(f"{p}.conv3", 2048, mid, 1)
+    conv(f"{p}.shortcut", 2048, in_ch, 1)
+    conv("proposal_generator.rpn_head.conv", 1024, 1024, 3,
+         bias=True, norm=False)
+    conv("proposal_generator.rpn_head.objectness_logits", 2, 1024, 1,
+         bias=True, norm=False)
+    conv("proposal_generator.rpn_head.anchor_deltas", 8, 1024, 1,
+         bias=True, norm=False)
+    lin("roi_heads.box_predictor.cls_score", 2048, 10)
+    lin("roi_heads.box_predictor.bbox_pred", 2048, 4)
+    sd["roi_heads.box_predictor.cls_embedding.weight"] = \
+        torch.randn(10, 256) * 0.02
+    lin("roi_heads.box_predictor.fc_attr", 2048 + 256, 512)
+    lin("roi_heads.box_predictor.attr_score", 512, 6)
+
+    params = convert.frcnn_from_state_dict(sd, cfg)
+    img = jnp.asarray(
+        np.random.RandomState(0).randn(128, 160, 3).astype(np.float32))
+    out = frcnn.forward(params, img, cfg)
+    assert out["roi_features"].shape == (4, 2048)
+    assert np.isfinite(np.asarray(out["roi_features"])).all()

@@ -451,6 +451,85 @@ def detr_from_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# Faster R-CNN (unc-nlp/frcnn-vg-finetuned — detectron2-port layout:
+# backbone.stem + backbone.res2-4, roi_heads.res5, proposal_generator.
+# rpn_head.{conv,objectness_logits,anchor_deltas}, roi_heads.
+# box_predictor.{cls_score,bbox_pred,cls_embedding,fc_attr,attr_score};
+# Conv2d norms are FrozenBatchNorm at ``.norm.*``
+# (lxmert/src/modeling_frcnn.py:779-1667)
+# ---------------------------------------------------------------------------
+
+def _d2_bn(sd, prefix) -> Dict[str, jnp.ndarray]:
+    return {
+        "weight": jnp.asarray(_np(sd[f"{prefix}.norm.weight"])),
+        "bias": jnp.asarray(_np(sd[f"{prefix}.norm.bias"])),
+        "mean": jnp.asarray(_np(sd[f"{prefix}.norm.running_mean"])),
+        "var": jnp.asarray(_np(sd[f"{prefix}.norm.running_var"])),
+    }
+
+
+def _d2_block(sd, p) -> Dict[str, Any]:
+    blk = {
+        "conv1": {"w": _conv_hwio(sd[f"{p}.conv1.weight"])},
+        "bn1": _d2_bn(sd, f"{p}.conv1"),
+        "conv2": {"w": _conv_hwio(sd[f"{p}.conv2.weight"])},
+        "bn2": _d2_bn(sd, f"{p}.conv2"),
+        "conv3": {"w": _conv_hwio(sd[f"{p}.conv3.weight"])},
+        "bn3": _d2_bn(sd, f"{p}.conv3"),
+    }
+    if f"{p}.shortcut.weight" in sd:
+        blk["downsample"] = {"w": _conv_hwio(sd[f"{p}.shortcut.weight"])}
+        blk["downsample_bn"] = _d2_bn(sd, f"{p}.shortcut")
+    return blk
+
+
+def _conv_b(sd, p):
+    return {"w": _conv_hwio(sd[f"{p}.weight"]),
+            "b": jnp.asarray(_np(sd[f"{p}.bias"]))}
+
+
+def frcnn_from_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """unc-nlp/frcnn-vg-finetuned checkpoint → models/frcnn pytree.
+    ``cfg`` is a models.frcnn.FrcnnConfig (stage sizes drive the walk)."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):] if k.startswith("model.") else k: v
+              for k, v in sd.items()}
+
+    layers = []
+    for si, n_blocks in enumerate(cfg.stages[:3]):
+        stage = f"backbone.res{si + 2}"
+        layers.append([_d2_block(sd, f"{stage}.{bi}")
+                       for bi in range(n_blocks)])
+    layers.append([_d2_block(sd, f"roi_heads.res5.{bi}")
+                   for bi in range(cfg.stages[3])])
+
+    cls_w, cls_b = _lin(sd, "roi_heads.box_predictor.cls_score")
+    bbox_w, bbox_b = _lin(sd, "roi_heads.box_predictor.bbox_pred")
+    attr_fc_w, attr_fc_b = _lin(sd, "roi_heads.box_predictor.fc_attr")
+    attr_w, attr_b = _lin(sd, "roi_heads.box_predictor.attr_score")
+    return {
+        "backbone": {
+            "conv1": {"w": _conv_hwio(sd["backbone.stem.conv1.weight"])},
+            "bn1": _d2_bn(sd, "backbone.stem.conv1"),
+            "layers": layers,
+        },
+        "rpn": {
+            "conv": _conv_b(sd, "proposal_generator.rpn_head.conv"),
+            "objectness": _conv_b(
+                sd, "proposal_generator.rpn_head.objectness_logits"),
+            "deltas": _conv_b(
+                sd, "proposal_generator.rpn_head.anchor_deltas"),
+        },
+        "cls_score": {"w": jnp.asarray(cls_w), "b": jnp.asarray(cls_b)},
+        "bbox_pred": {"w": jnp.asarray(bbox_w), "b": jnp.asarray(bbox_b)},
+        "attr_cls_emb": jnp.asarray(
+            _np(sd["roi_heads.box_predictor.cls_embedding.weight"])),
+        "attr_fc": {"w": jnp.asarray(attr_fc_w), "b": jnp.asarray(attr_fc_b)},
+        "attr_score": {"w": jnp.asarray(attr_w), "b": jnp.asarray(attr_b)},
+    }
+
+
+# ---------------------------------------------------------------------------
 # timm ViT (vit_base_patch16_224 layout — the ViT notebook's model)
 # ---------------------------------------------------------------------------
 
