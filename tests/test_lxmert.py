@@ -33,8 +33,15 @@ def _load_ref_lxmert():
 
     # pre-transformers-4.x module alias used by the reference
     if "transformers.configuration_lxmert" not in sys.modules:
+        import importlib.machinery
+
         shim = types.ModuleType("transformers.configuration_lxmert")
         shim.LxmertConfig = transformers.models.lxmert.configuration_lxmert.LxmertConfig
+        # a real spec so importlib.util.find_spec on the name (e.g. from
+        # a fresh transformers import in another test module) never
+        # raises "__spec__ is None"
+        shim.__spec__ = importlib.machinery.ModuleSpec(
+            "transformers.configuration_lxmert", loader=None)
         sys.modules["transformers.configuration_lxmert"] = shim
     # old-signature docstring decorators → no-ops (docs only)
     import transformers.file_utils as fu

@@ -86,10 +86,11 @@ def test_run_loop_aggregates(capsys):
     class Fake:
         steps = (0.0, 0.5, 1.0)
 
-        def run_sample(self, batch, soft):
-            return np.asarray([1.0, 0.5, 0.0])
+        def run_samples_batched(self, batch, soft):
+            return np.tile([1.0, 0.5, 0.0], (len(batch["x"]), 1))
 
-    out = run_loop(Fake(), [({}, None)] * 3, 3)
+    samples = [({"x": jnp.zeros((1, 2))}, np.zeros(3))] * 3
+    out = run_loop(Fake(), samples, 3, batch_size=2)
     np.testing.assert_allclose(out, [1.0, 0.5, 0.0])
     text = capsys.readouterr().out
     assert "step_accuracies" in text and "auc" in text

@@ -22,19 +22,30 @@ TEXTS = [
 @pytest.fixture(scope="module")
 def ref_tokenizer():
     # the reference module imports ftfy (absent) — stub it; its
-    # fix_text only matters for mojibake, not these ASCII prompts
+    # fix_text only matters for mojibake, not these ASCII prompts.
+    # The shim gets a real ModuleSpec (importlib.util.find_spec, which
+    # transformers runs on fresh imports, raises ValueError on a module
+    # whose __spec__ is None) and is removed again after this module's
+    # tests, so test order can't leak it into other modules.
+    import importlib.machinery
+    import importlib.util
+
+    added = False
     if "ftfy" not in sys.modules:
         shim = types.ModuleType("ftfy")
         shim.fix_text = lambda s: s
+        shim.__spec__ = importlib.machinery.ModuleSpec("ftfy", loader=None)
         sys.modules["ftfy"] = shim
-    import importlib.util
+        added = True
 
     spec = importlib.util.spec_from_file_location(
         "ref_simple_tokenizer",
         str(REFERENCE / "CLIP/clip/simple_tokenizer.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.SimpleTokenizer()
+    yield mod.SimpleTokenizer()
+    if added:
+        sys.modules.pop("ftfy", None)
 
 
 @requires_reference

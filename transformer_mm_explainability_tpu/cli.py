@@ -25,9 +25,13 @@ def str2bool(v: str) -> bool:
     return str(v).lower() in ("1", "true", "yes", "y")
 
 
+# union of the per-model method families; each runner validates its own
+# surface (pert_runner.VISUALBERT_METHODS / LXMERT_METHODS + aliases)
 METHODS = ["ours_with_lrp", "ours_no_lrp", "transformer_att",
-           "partial_lrp", "raw_attn", "attn_gradcam", "rollout",
-           "ours_no_lrp_no_normalization", "ablation_no_self_in_10",
+           "transformer_attribution", "partial_lrp", "raw_attn",
+           "attn_gradcam", "rollout", "ours_no_lrp_no_norm",
+           "ours_no_lrp_no_normalization",
+           "ours_with_lrp_no_normalization", "ablation_no_self_in_10",
            "ablation_no_aggregation"]
 
 
@@ -63,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--model", choices=["visual_bert", "lxmert"],
                     default="visual_bert")
     sp.add_argument("--num-samples", type=int, default=10000)
+    sp.add_argument("--batch-size", type=int, default=8,
+                    help="samples per jitted explain+perturb program "
+                         "(protocol results are batch-size invariant)")
     sp.add_argument("--is-positive-pert", type=str2bool, default=False)
     sp.add_argument("--is-text-pert", type=str2bool, default=False)
     sp.add_argument("--questions", default=None, help="VQA questions json")
@@ -177,7 +184,13 @@ def cmd_explain_clip(args) -> int:
 def cmd_perturbation(args) -> int:
     from transformer_mm_explainability_tpu.harness import pert_runner
 
-    return pert_runner.run_from_args(args)
+    try:
+        return pert_runner.run_from_args(args)
+    except ValueError as e:
+        if "perturbation method" in str(e):
+            print(f"perturbation: {e}")
+            return 2
+        raise
 
 
 def cmd_detr_eval(args) -> int:

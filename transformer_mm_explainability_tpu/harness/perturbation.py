@@ -35,6 +35,19 @@ TEXT_STEPS = (0.0, 0.25, 0.5, 0.75, 0.8, 0.85, 0.9, 0.95, 1.0)
 LXMERT_STEPS = TEXT_STEPS
 
 
+def _num_keep_table(steps: Sequence[float], n_max: int) -> jnp.ndarray:
+    """``int((1 - step) * n)`` for every n in [0, n_max], computed in
+    Python float64 — bit-exact with the reference's host arithmetic
+    (evaluation_loop.py:115, perturbation.py:64/105/167). Computing this
+    in traced float32 is off by one at boundaries, e.g.
+    step=0.9, n=10: f64 gives int(0.0999..*10)=0, f32 int(0.1000002*10)=1.
+    Returns [n_steps, n_max+1] int32 (steps are static, so this is a
+    compile-time constant gather table)."""
+    return jnp.asarray(
+        [[int((1.0 - s) * n) for n in range(n_max + 1)] for s in steps],
+        jnp.int32)
+
+
 def topk_keep_mask(cam: jnp.ndarray, num_keep: jnp.ndarray,
                    valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Boolean keep-mask of the ``num_keep`` highest-relevancy entries.
@@ -86,8 +99,7 @@ def run_image_perturbation(
     N = cam_image.shape[0]
     if num_boxes is None:
         num_boxes = jnp.asarray(N)
-    steps_arr = jnp.asarray(steps)
-    num_keep = ((1.0 - steps_arr) * num_boxes).astype(jnp.int32)
+    num_keep = _num_keep_table(steps, N)[:, num_boxes]
     n_steps = len(steps)
 
     # the step axis becomes a plain batch axis: ONE ordinary forward at
@@ -125,8 +137,7 @@ def run_text_perturbation(
     valid = jnp.arange(S) < text_len
     rankable = valid & ~always_keep
     n_rankable = rankable.sum()
-    steps_arr = jnp.asarray(steps)
-    num_keep = ((1.0 - steps_arr) * n_rankable).astype(jnp.int32)
+    num_keep = _num_keep_table(steps, S)[:, n_rankable]
     n_steps = len(steps)
 
     def build_step(k):
@@ -165,10 +176,8 @@ def run_image_perturbation_batch(
     cam = -cam_image if positive else cam_image
     if num_boxes is None:
         num_boxes = jnp.full((N,), Nb)
-    steps_arr = jnp.asarray(steps)
     n_steps = len(steps)
-    num_keep = ((1.0 - steps_arr)[None, :]
-                * num_boxes[:, None]).astype(jnp.int32)      # [N, S]
+    num_keep = _num_keep_table(steps, Nb)[:, num_boxes].T    # [N, S]
     keeps = jax.vmap(lambda c, ks, nb: jax.vmap(
         lambda k: topk_keep_mask(c, k, valid=jnp.arange(Nb) < nb))(ks)
     )(cam, num_keep, num_boxes)                              # [N, S, Nb]
@@ -198,12 +207,10 @@ def run_text_perturbation_batch(
     N, S = cam_text.shape
     cam = -cam_text if positive else cam_text
     n_steps = len(steps)
-    steps_arr = jnp.asarray(steps)
     valid = jnp.arange(S)[None, :] < text_len[:, None]
     rankable = valid & ~always_keep
     n_rankable = rankable.sum(axis=1)
-    num_keep = ((1.0 - steps_arr)[None, :]
-                * n_rankable[:, None]).astype(jnp.int32)       # [N, S_steps]
+    num_keep = _num_keep_table(steps, S)[:, n_rankable].T      # [N, S_steps]
 
     def build(c, ks, rk, ak, vd, ids):
         def one(k):
@@ -227,4 +234,5 @@ def run_text_perturbation_batch(
 def auc(step_accs: np.ndarray, steps: Sequence[float]) -> float:
     """Area under the per-step accuracy curve (trapezoidal over the
     perturbation fractions) — the paper's summary metric."""
-    return float(np.trapezoid(step_accs, x=np.asarray(steps)))
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2.0
+    return float(trapezoid(step_accs, x=np.asarray(steps)))

@@ -293,7 +293,10 @@ def capture(
     targets: jnp.ndarray,
     cfg: LxmertConfig = LXMERT_VQA,
 ) -> Tuple[jnp.ndarray, LxmertTaps, LxmertTaps]:
-    """One fwd+bwd: (qa_scores, attn probs, attn gradients)."""
+    """One fwd+bwd: (qa_scores, attn probs, attn gradients).
+    ``targets=None`` explains the PREDICTED answer (the reference
+    default: ExplanationGenerator.py ``index=None → argmax(output)``),
+    resolved in the same fwd+bwd via a stop-gradient argmax."""
     B, St = batch["input_ids"].shape
     Sv = batch["visual_feats"].shape[1]
 
@@ -304,7 +307,9 @@ def capture(
             batch.get("token_type_ids"), batch.get("visual_mask"),
             cfg, taps,
         )
-        s = jnp.take_along_axis(out["qa_scores"], targets[:, None], axis=1).sum()
+        t = (jnp.argmax(jax.lax.stop_gradient(out["qa_scores"]), axis=-1)
+             if targets is None else targets)
+        s = jnp.take_along_axis(out["qa_scores"], t[:, None], axis=1).sum()
         return s, (out["qa_scores"], out["attn"])
 
     grads, (scores, attn) = jax.grad(score_fn, has_aux=True)(

@@ -189,7 +189,10 @@ def capture(
     targets: jnp.ndarray,
     cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One fwd+bwd: (scores, A, ∇A). ``targets``: [B] answer indices."""
+    """One fwd+bwd: (scores, A, ∇A). ``targets``: [B] answer indices,
+    or ``None`` to explain the model's PREDICTED answer (the reference
+    default: ExplanationGenerator.py ``index=None → np.argmax(output)``),
+    resolved inside the same fwd+bwd via a stop-gradient argmax."""
     B, S_t = batch["input_ids"].shape
     N_v = batch["visual_embeddings"].shape[1] if batch.get(
         "visual_embeddings") is not None else 0
@@ -206,7 +209,9 @@ def capture(
             batch.get("visual_mask"),
             cfg, taps,
         )
-        s = jnp.take_along_axis(out["scores"], targets[:, None], axis=1).sum()
+        t = (jnp.argmax(jax.lax.stop_gradient(out["scores"]), axis=-1)
+             if targets is None else targets)
+        s = jnp.take_along_axis(out["scores"], t[:, None], axis=1).sum()
         return s, out
 
     grads, out = jax.grad(score_fn, has_aux=True)(
