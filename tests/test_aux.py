@@ -99,11 +99,19 @@ def test_profiling_tools(caplog):
 
 
 def test_zoo_resolve_local(tmp_path):
+    # torch.hub-style names embed sha256[:8]; a fake payload must fail
     f = tmp_path / "detr-r50-e632da11.pth"
     f.write_bytes(b"fake")
-    path = download.resolve("detr_r50", cache_dir=str(tmp_path),
-                            allow_download=False)
-    assert path == str(f)
+    with pytest.raises(IOError):
+        download.resolve("detr_r50", cache_dir=str(tmp_path),
+                         allow_download=False)
+    # no digest available at all → resolves, but warns loudly
+    g = tmp_path / "pytorch_model.bin"
+    g.write_bytes(b"fake lxmert")
+    with pytest.warns(UserWarning, match="WITHOUT integrity"):
+        path = download.resolve("lxmert_vqa", cache_dir=str(tmp_path),
+                                allow_download=False)
+    assert path == str(g)
     with pytest.raises(FileNotFoundError):
         download.resolve("clip_vit_b32", cache_dir=str(tmp_path / "empty"),
                          allow_download=False)

@@ -116,6 +116,48 @@ def test_tsv_topk(tmp_path):
     assert len(native.tsv.load_obj_tsv(p, topk=2)) == 2
 
 
+def test_tsv_malformed_rows_skipped(tmp_path):
+    """Truncated/mismatched payloads must be dropped at parse time —
+    tsv_get memcpys num_boxes*feat_dim floats, so a short decode would
+    read out of bounds in native code parsing untrusted files."""
+    import base64
+
+    p = str(tmp_path / "bad.tsv")
+    make_tsv(p, n_images=2, n_boxes=5, feat_dim=16)
+    rng = np.random.RandomState(7)
+    oid = rng.randint(0, 9, 5).astype(np.int64)
+    oconf = rng.rand(5).astype(np.float32)
+    b64 = lambda a: base64.b64encode(a.tobytes()).decode()
+    bad_rows = [
+        # features truncated: claims 5 boxes but carries 2 rows of feats
+        "\t".join(["img_trunc", "480", "640", b64(oid), b64(oconf),
+                   b64(oid), b64(oconf), "5",
+                   b64(rng.rand(5, 4).astype(np.float32)),
+                   b64(rng.randn(2, 16).astype(np.float32))]),
+        # feature dim differs from the store-wide dim (16)
+        "\t".join(["img_dim", "480", "640", b64(oid), b64(oconf),
+                   b64(oid), b64(oconf), "5",
+                   b64(rng.rand(5, 4).astype(np.float32)),
+                   b64(rng.randn(5, 8).astype(np.float32))]),
+        # boxes truncated
+        "\t".join(["img_box", "480", "640", b64(oid), b64(oconf),
+                   b64(oid), b64(oconf), "5",
+                   b64(rng.rand(3, 4).astype(np.float32)),
+                   b64(rng.randn(5, 16).astype(np.float32))]),
+        # zero / negative num_boxes
+        "\t".join(["img_zero", "480", "640", b64(oid), b64(oconf),
+                   b64(oid), b64(oconf), "0",
+                   b64(rng.rand(0, 4).astype(np.float32)),
+                   b64(rng.randn(0, 16).astype(np.float32))]),
+    ]
+    with open(p, "a") as f:
+        f.write("\n".join(bad_rows) + "\n")
+    items = native.tsv.load_obj_tsv(p)
+    assert [it["img_id"] for it in items] == ["img_0", "img_1"]
+    for it in items:
+        assert it["features"].shape == (5, 16)
+
+
 def test_feature_store(tmp_path):
     p = str(tmp_path / "feats.tsv")
     make_tsv(p, n_boxes=5)

@@ -125,31 +125,53 @@ int64_t tsv_open(const char* path, int64_t topk) {
       std::memcpy(out->data(), scratch.data(), nb);
       return true;
     };
+    if (n <= 0) continue;
     if (!decode_i64(3, &rec.objects_id)) continue;
     if (!decode_floats(4, &rec.objects_conf)) continue;
     if (!decode_floats(8, &rec.boxes)) continue;
     if (!decode_floats(9, &rec.features)) continue;
-    rec.boxes.resize((size_t)n * 4);
-    if (n > 0) store->feat_dim = (int)(rec.features.size() / n);
+    // strict size validation: the decoded payloads must agree with
+    // num_boxes and with the store-wide feature dim, or the row is
+    // dropped — tsv_get memcpys n*feat_dim floats from these buffers,
+    // so a short decode would otherwise read out of bounds.
+    if (rec.boxes.size() != (size_t)n * 4) continue;
+    if (rec.features.size() % (size_t)n != 0) continue;
+    const int d = (int)(rec.features.size() / (size_t)n);
+    if (d <= 0) continue;
+    if (store->feat_dim == 0) store->feat_dim = d;
+    if (d != store->feat_dim) continue;  // mixed dims: keep the first
     store->records.push_back(std::move(rec));
   }
   g_stores.push_back(store.release());
   return (int64_t)g_stores.size() - 1;
 }
 
+namespace {
+Store* store_at(int64_t h) {
+  if (h < 0 || (size_t)h >= g_stores.size()) return nullptr;
+  return g_stores[(size_t)h];
+}
+}  // namespace
+
 int64_t tsv_count(int64_t h) {
-  return (int64_t)g_stores[h]->records.size();
+  const Store* s = store_at(h);
+  return s ? (int64_t)s->records.size() : -1;
 }
 
-int tsv_feat_dim(int64_t h) { return g_stores[h]->feat_dim; }
+int tsv_feat_dim(int64_t h) {
+  const Store* s = store_at(h);
+  return s ? s->feat_dim : -1;
+}
 
 // Copy record i. Caller provides buffers; boxes [max_boxes*4],
 // features [max_boxes*feat_dim], ids/conf [max_boxes]. Returns the
-// clipped number of boxes.
+// clipped number of boxes, or -1 for an invalid handle/index.
 int tsv_get(int64_t h, int64_t i, char* img_id_out, int img_id_cap,
             int* img_h, int* img_w, float* boxes, float* features,
             int64_t* objects_id, float* objects_conf, int max_boxes) {
-  const Record& r = g_stores[h]->records[(size_t)i];
+  const Store* s = store_at(h);
+  if (!s || i < 0 || (size_t)i >= s->records.size()) return -1;
+  const Record& r = s->records[(size_t)i];
   std::snprintf(img_id_out, img_id_cap, "%s", r.img_id.c_str());
   *img_h = r.img_h;
   *img_w = r.img_w;
@@ -166,8 +188,9 @@ int tsv_get(int64_t h, int64_t i, char* img_id_out, int img_id_cap,
 }
 
 void tsv_close(int64_t h) {
-  delete g_stores[h];
-  g_stores[h] = nullptr;
+  if (h < 0 || (size_t)h >= g_stores.size()) return;
+  delete g_stores[(size_t)h];
+  g_stores[(size_t)h] = nullptr;
 }
 
 }  // extern "C"

@@ -4,7 +4,12 @@ The reference's DownloadableFile downloads + sha256-verifies the
 published artifacts (mmf/utils/download.py:28-164; clip.load's
 sha256-in-URL check, CLIP/clip/clip.py:75-103). This image has zero
 egress, so the zoo resolves LOCAL paths first and only attempts
-network when available; checksum verification always runs.
+network when available. Verification: a full ``sha256`` when the
+publisher states one; otherwise the 8-hex-char prefix embedded in
+torch.hub-style filenames (``*-<prefix8>.pth`` is the first 8 chars of
+the file's sha256 — the convention of torch.hub.load_state_dict_from_url,
+which both the timm ViT and DETR release files follow). Entries with
+neither produce a LOUD warning instead of silently skipping the check.
 """
 
 from __future__ import annotations
@@ -12,7 +17,9 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import os
+import re
 import urllib.request
+import warnings
 from typing import Dict, Optional
 
 
@@ -59,6 +66,33 @@ ZOO: Dict[str, ZooEntry] = {
 }
 
 
+def _embedded_prefix(url: str) -> Optional[str]:
+    """torch.hub filename convention: ``name-<sha256[:8]>.pth``."""
+    m = re.search(r"-([0-9a-f]{8})\.pth$", os.path.basename(url))
+    return m.group(1) if m else None
+
+
+def verify(path: str, entry: "ZooEntry") -> None:
+    """Raise on digest mismatch; warn loudly when no digest is known."""
+    if entry.sha256:
+        if sha256_of(path) != entry.sha256:
+            raise IOError(
+                f"{path} fails the sha256 check for {entry.name}")
+        return
+    prefix = _embedded_prefix(entry.url)
+    if prefix:
+        if not sha256_of(path).startswith(prefix):
+            raise IOError(
+                f"{path} fails the embedded sha256-prefix check "
+                f"({prefix}) for {entry.name}")
+        return
+    warnings.warn(
+        f"zoo entry {entry.name!r} has no published digest; loading "
+        f"{path} WITHOUT integrity verification (torch.load unpickles "
+        f"arbitrary code — only use files from trusted sources)",
+        stacklevel=2)
+
+
 def sha256_of(path: str, chunk: int = 1 << 20) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:
@@ -85,10 +119,7 @@ def resolve(name: str, cache_dir: str = "~/.cache/tmmx",
                               os.path.join(cache_dir, filename)) if p]
     for path in candidates:
         if os.path.exists(path):
-            if entry.sha256 and sha256_of(path) != entry.sha256:
-                raise IOError(
-                    f"{path} exists but fails the sha256 check for "
-                    f"{name}")
+            verify(path, entry)
             return path
     if not allow_download:
         raise FileNotFoundError(
@@ -103,7 +134,9 @@ def resolve(name: str, cache_dir: str = "~/.cache/tmmx",
             f"{name}: download failed ({e}); this environment may have "
             f"no egress — fetch {entry.url} elsewhere and pass "
             f"local_path") from e
-    if entry.sha256 and sha256_of(target) != entry.sha256:
+    try:
+        verify(target, entry)
+    except IOError:
         os.remove(target)
-        raise IOError(f"{name}: downloaded file failed sha256 check")
+        raise
     return target
