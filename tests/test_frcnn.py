@@ -25,10 +25,12 @@ TINY = frcnn.FrcnnConfig(
 def test_anchor_grid():
     a = np.asarray(frcnn.anchor_grid(2, 3, TINY))
     assert a.shape == (2 * 3 * 2, 4)
-    # first cell centre at stride/2 = 8
+    # detectron2 OFFSET=0.0: first cell centre at 0, second at stride
     cx = (a[0, 0] + a[0, 2]) / 2
     cy = (a[0, 1] + a[0, 3]) / 2
-    assert cx == pytest.approx(8.0) and cy == pytest.approx(8.0)
+    assert cx == pytest.approx(0.0) and cy == pytest.approx(0.0)
+    cx2 = (a[2, 0] + a[2, 2]) / 2
+    assert cx2 == pytest.approx(TINY.feat_stride)
     # sizes: w*h == size^2
     w = a[:, 2] - a[:, 0]
     h = a[:, 3] - a[:, 1]
@@ -58,24 +60,25 @@ def test_nms_fixed():
     assert list(idx[ok]) == [1, 2]  # best of the pair, then isolated
 
 
-def test_roi_align_constant_field():
+def test_roi_pool_constant_field():
     """On a constant feature map every ROI pools the constant."""
     feats = jnp.full((16, 16, 3), 2.5)
     boxes = jnp.asarray([[2.0, 2.0, 10.0, 12.0], [0.0, 0.0, 16.0, 16.0]])
-    out = np.asarray(frcnn.roi_align(feats, boxes, 4, 1.0))
+    out = np.asarray(frcnn.roi_pool(feats, boxes, 4, 1.0))
     np.testing.assert_allclose(out, 2.5, atol=1e-5)
 
 
-def test_roi_align_linear_field():
-    """Bilinear sampling of a linear ramp is exact."""
+def test_roi_pool_linear_field():
+    """Max pooling of a monotone ramp = the bin's right-edge column
+    (RoIPool quantised semantics: box [4,12] → cells 4..12, 9 wide,
+    bins of 2.25 cells)."""
     H = W = 16
     ramp = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :, None],
                             (H, W, 1))  # value = x coordinate
     box = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])
-    out = np.asarray(frcnn.roi_align(ramp, box, 4, 1.0))[0, :, :, 0]
-    # bin centres along x: 4 + (i+0.5)*2 − 0.5 sample offset → exact ramp
-    want_cols = 4 + (np.arange(4) + 0.5) * 2 - 0.5
-    np.testing.assert_allclose(out.mean(axis=0), want_cols, atol=1e-4)
+    out = np.asarray(frcnn.roi_pool(ramp, box, 4, 1.0))[0, :, :, 0]
+    # bins along x: [4,7) [6,9) [8,11) [10,13) → maxes 6, 8, 10, 12
+    np.testing.assert_allclose(out.mean(axis=0), [6, 8, 10, 12], atol=1e-5)
 
 
 def test_frcnn_end_to_end_shapes():

@@ -2,23 +2,39 @@
 
 Equivalent of the reference's vendored detectron2 port
 (lxmert/lxmert/src/modeling_frcnn.py: ResNet backbone :943, RPN +
-AnchorGenerator :1352-1592, ROIPooler :1056, Res5ROIHeads :1251,
-ROIOutputs NMS/decode :1137, GeneralizedRCNN :1660-1922) producing 36
+AnchorGenerator :1352-1592, ROIPooler :1056 (torchvision **RoIPool** —
+quantised max pooling, NOT RoIAlign), Res5ROIHeads :1251, ROIOutputs
+do_nms/decode :116-140,:1137, GeneralizedRCNN :1660-1922) producing 36
 ROI features (2048-d) + normalised boxes for LXMERT.
 
-TPU-first design — every stage is static-shape:
-  * anchors precomputed per feature-grid size;
-  * proposal selection = top-K by objectness (padded, validity-masked);
-  * NMS = fixed-iteration argmax-suppress loop (lax.fori_loop over the
-    output budget) instead of data-dependent loops;
-  * ROIAlign = bilinear gather (detectron2 v2 semantics, sampling
-    ratio 2 on a regular sub-grid);
-  * detection head keeps exactly ``max_detections`` boxes (the
-    reference pads to 36, perturbation.py:55-57).
+Reference semantics reproduced exactly:
+  * anchors at ``offset * stride`` grid shifts (OFFSET = 0.0,
+    :_create_grid_offsets) with centre-0 bases;
+  * RPN hidden width from PROPOSAL_GENERATOR.HIDDEN_CHANNELS (512 for
+    the VG config, "Use hidden dim instead of the same dim as Res4",
+    :1467-1471);
+  * proposal selection: top-K by raw objectness logit → clip →
+    drop empty boxes → NMS 0.7 → top post_nms_topk (:find_top_rpn_proposals);
+  * RoIPool: round() box quantisation, +1 width convention, per-bin
+    floor/ceil boundaries, max pooling, empty bins = 0 (torchvision
+    roi_pool semantics, the ROIPooler's ``level_poolers``);
+  * VG res5: first block stride 1 and dilation-2 3×3 convs
+    (RES5HALVE=False modifications, :1494-1502);
+  * background class is the LAST column — detection scores use
+    ``softmax(logits)[:, :-1]`` and attr scores ``attr_logits[..., :-1]``
+    (:do_nms, :_predict_attrs);
+  * detection selection = single NMS over the class-max scores of ALL
+    proposals, first MAX_DETECTIONS kept; the configured score_thresh is
+    accepted-and-ignored exactly like the reference's ``do_nms``;
+  * attr head: class embedding of the argmax over ALL classes
+    (background included, :1649-1654) concatenated to the 2048-d
+    feature.
 
-The caffe-style backbone (stride on the 1×1 convs) is models/resnet
-with ``stride_in_1x1``; weights load from the HF
-``unc-nlp/frcnn-vg-finetuned`` checkpoint via utils/convert.
+TPU-first design — every stage is static-shape: top-K + validity masks
+instead of dynamic filtering, fixed-iteration argmax-suppress NMS
+(lax.fori_loop over the output budget), axis-factorised RoIPool (two
+masked-max passes instead of per-bin loops), and a chunked lax.map so
+the pooled intermediate stays small.
 """
 
 from __future__ import annotations
@@ -26,8 +42,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Sequence, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from transformer_mm_explainability_tpu.models import resnet
 from transformer_mm_explainability_tpu.utils import box_ops
@@ -35,26 +54,33 @@ from transformer_mm_explainability_tpu.utils import box_ops
 
 @dataclasses.dataclass(frozen=True)
 class FrcnnConfig:
-    # backbone: ResNet-101 C4 (stages 1-3 used for features, res5 = head)
+    # backbone: ResNet-101 C4 (res2-res4 features; res5 = ROI head)
     stages: Tuple[int, ...] = (3, 4, 23, 3)
     stride_in_1x1: bool = True
+    caffe_maxpool: bool = True        # MODEL.MAX_POOL (caffe stem pool)
     feat_stride: int = 16
-    # anchors
+    # anchors (ANCHOR_GENERATOR.*; OFFSET=0.0 is the detectron2 default)
     anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
     aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
-    # RPN
-    pre_nms_topk: int = 6000
-    post_nms_topk: int = 300
+    anchor_offset: float = 0.0
+    # RPN (RPN.* + PROPOSAL_GENERATOR.*)
+    rpn_hidden_dim: int = 512         # VG config HIDDEN_CHANNELS
+    pre_nms_topk: int = 6000          # PRE_NMS_TOPK_TEST
+    post_nms_topk: int = 1000         # POST_NMS_TOPK_TEST
     rpn_nms_thresh: float = 0.7
     # ROI heads
     pooler_resolution: int = 14
-    sampling_ratio: int = 2
+    res5_halve: bool = False          # VG: stride-1 res5 + dilation 2
     num_classes: int = 1600
     num_attrs: int = 400
-    score_thresh: float = 0.2
+    score_thresh: float = 0.2         # accepted + ignored, like do_nms
     detection_nms_thresh: float = 0.5
-    max_detections: int = 36
-    # box transform weights (detectron2 defaults for RPN / box head)
+    max_detections: int = 36          # MIN_DETECTIONS == MAX_DETECTIONS
+    # the VG checkpoint regresses one box per foreground class: do_nms's
+    # ``arange(N)*K + max_classes`` gather (modeling_frcnn.py:128-130)
+    # is only well-formed when K == num_classes
+    cls_agnostic_bbox_reg: bool = False
+    # box transform weights (RPN.BBOX_REG_WEIGHTS / ROI_BOX_HEAD.*)
     rpn_box_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
     box_weights: Tuple[float, ...] = (10.0, 10.0, 5.0, 5.0)
 
@@ -67,9 +93,9 @@ FRCNN_VG = FrcnnConfig()
 # ---------------------------------------------------------------------------
 
 def anchor_grid(feat_h: int, feat_w: int, cfg: FrcnnConfig) -> jnp.ndarray:
-    """[H*W*A, 4] xyxy anchors, detectron2 layout (cell-major, then
-    anchor index; centred at stride/2 offsets... detectron2 uses
-    (x+0.5)*stride shifts with centre 0 bases)."""
+    """[H*W*A, 4] xyxy anchors: cell-major (y, x), anchor-minor — the
+    layout of grid_anchors (modeling_frcnn.py:1402-1412) with
+    generate_cell_anchors' centre-0 bases (:1414-1429)."""
     bases = []
     for size in cfg.anchor_sizes:
         area = size * size
@@ -78,8 +104,8 @@ def anchor_grid(feat_h: int, feat_w: int, cfg: FrcnnConfig) -> jnp.ndarray:
             h = w * ratio
             bases.append([-w / 2, -h / 2, w / 2, h / 2])
     bases = jnp.asarray(bases)                      # [A, 4]
-    shifts_x = (jnp.arange(feat_w) + 0.5) * cfg.feat_stride
-    shifts_y = (jnp.arange(feat_h) + 0.5) * cfg.feat_stride
+    shifts_x = (jnp.arange(feat_w) + cfg.anchor_offset) * cfg.feat_stride
+    shifts_y = (jnp.arange(feat_h) + cfg.anchor_offset) * cfg.feat_stride
     sx, sy = jnp.meshgrid(shifts_x, shifts_y)       # [H, W]
     shifts = jnp.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 1, 4)
     return (shifts + bases[None]).reshape(-1, 4)
@@ -88,7 +114,8 @@ def anchor_grid(feat_h: int, feat_w: int, cfg: FrcnnConfig) -> jnp.ndarray:
 def apply_deltas(boxes: jnp.ndarray, deltas: jnp.ndarray,
                  weights: Sequence[float],
                  scale_clamp: float = 4.135166556742356) -> jnp.ndarray:
-    """Box2BoxTransform.apply_deltas (dx,dy,dw,dh on cxcywh)."""
+    """Box2BoxTransform.apply_deltas (dx,dy,dw,dh on cxcywh; the clamp
+    default is ln(1000/16), modeling_frcnn.py:429-520)."""
     wx, wy, ww, wh = weights
     w = boxes[:, 2] - boxes[:, 0]
     h = boxes[:, 3] - boxes[:, 1]
@@ -114,12 +141,19 @@ def clip_boxes(boxes: jnp.ndarray, img_h: float, img_w: float) -> jnp.ndarray:
     return jnp.stack([x0, y0, x1, y1], axis=1)
 
 
+def nonempty(boxes: jnp.ndarray, threshold: float = 0.0) -> jnp.ndarray:
+    """_nonempty_boxes (modeling_frcnn.py:152-156)."""
+    return ((boxes[:, 2] - boxes[:, 0] > threshold)
+            & (boxes[:, 3] - boxes[:, 1] > threshold))
+
+
 def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray,
               iou_thresh: float, max_out: int,
               valid: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Static-shape NMS: ``max_out`` iterations of argmax + suppress.
+    Matches torchvision ``nms`` (suppress on IoU strictly > thresh;
+    score-descending output order; first-index tie-break).
     Returns (indices [max_out], keep_valid [max_out])."""
-    N = boxes.shape[0]
     s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
     iou, _ = box_ops.box_iou(boxes, boxes)
 
@@ -127,7 +161,7 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray,
         s, idxs, ok = carry
         j = jnp.argmax(s)
         good = s[j] > -jnp.inf
-        idxs = idxs.at[i].set(j)
+        idxs = idxs.at[i].set(j.astype(jnp.int32))
         ok = ok.at[i].set(good)
         suppress = iou[j] > iou_thresh
         s = jnp.where(suppress, -jnp.inf, s)
@@ -140,47 +174,67 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray,
     return idxs, ok
 
 
-def roi_align(features: jnp.ndarray, boxes: jnp.ndarray,
-              output_size: int, spatial_scale: float,
-              sampling_ratio: int = 2) -> jnp.ndarray:
-    """ROIAlign v2 (aligned=True): [H, W, C] features × [K, 4] xyxy
-    boxes → [K, out, out, C]. Bilinear sampling on a regular
-    sampling_ratio × sampling_ratio sub-grid per bin, averaged."""
+def roi_pool(features: jnp.ndarray, boxes: jnp.ndarray,
+             output_size: int, spatial_scale: float,
+             chunk: int = 32) -> jnp.ndarray:
+    """torchvision ``roi_pool`` (the reference ROIPooler's level pooler):
+    [H, W, C] features × [K, 4] xyxy boxes → [K, P, P, C].
+
+    Per torchvision's kernel: box coords are round()-quantised after
+    scaling, ROI width/height use the +1 convention with a min of 1,
+    each output bin spans [floor(p·bin), ceil((p+1)·bin)) clipped to the
+    feature map, bins are MAX-pooled, and empty bins yield 0.
+
+    TPU shape: instead of per-bin dynamic loops, the 2D bin max is
+    factorised into two masked-max passes (x then y) over a static
+    candidate window of K_cand pixels per axis, and boxes are processed
+    in ``chunk``-sized lax.map slices to bound the intermediate size.
+    """
     H, W, C = features.shape
-    sr = sampling_ratio
+    P = output_size
+    # widest possible bin: ceil(roi/P)+1 pixels; roi ≤ max(H, W)+2
+    K_cand = int(np.ceil((max(H, W) + 2) / P)) + 2
+    kk = jnp.arange(K_cand)
 
     def one_box(box):
-        x0, y0, x1, y1 = box * spatial_scale
-        # aligned=True: offset by -0.5 (continuous coordinates)
-        bw = jnp.maximum(x1 - x0, 1e-6) / output_size
-        bh = jnp.maximum(y1 - y0, 1e-6) / output_size
-        # sample positions: for bin i, samples at (i + (k+0.5)/sr) * bin
-        ii = jnp.arange(output_size)
-        kk = (jnp.arange(sr) + 0.5) / sr
-        ys = (y0 + (ii[:, None] + kk[None, :]) * bh).reshape(-1) - 0.5
-        xs = (x0 + (ii[:, None] + kk[None, :]) * bw).reshape(-1) - 0.5
+        # round-half-away-from-zero on non-negative coords
+        q = jnp.floor(box * spatial_scale + 0.5).astype(jnp.int32)
+        x0, y0, x1, y1 = q[0], q[1], q[2], q[3]
+        roi_w = jnp.maximum(x1 - x0 + 1, 1)
+        roi_h = jnp.maximum(y1 - y0 + 1, 1)
+        # bin boundaries floor(p*roi/P) / ceil((p+1)*roi/P) in EXACT
+        # integer arithmetic: equal to torch's f32 bin_size product for
+        # every feasible (p, roi, P), and immune to XLA's f32 division
+        # being 1 ulp off torch's (observed on CPU), which otherwise
+        # shifts boundaries whenever p*roi is an exact multiple of P
+        pi = jnp.arange(P, dtype=jnp.int32)
+        hs = jnp.clip((pi * roi_h) // P + y0, 0, H)
+        he = jnp.clip(((pi + 1) * roi_h + P - 1) // P + y0, 0, H)
+        ws = jnp.clip((pi * roi_w) // P + x0, 0, W)
+        we = jnp.clip(((pi + 1) * roi_w + P - 1) // P + x0, 0, W)
 
-        def bilinear(y, x):
-            y = jnp.clip(y, 0.0, H - 1.0)
-            x = jnp.clip(x, 0.0, W - 1.0)
-            y0i = jnp.floor(y).astype(jnp.int32)
-            x0i = jnp.floor(x).astype(jnp.int32)
-            y1i = jnp.minimum(y0i + 1, H - 1)
-            x1i = jnp.minimum(x0i + 1, W - 1)
-            ly, lx = y - y0i, x - x0i
-            v = (features[y0i, x0i] * (1 - ly) * (1 - lx)
-                 + features[y0i, x1i] * (1 - ly) * lx
-                 + features[y1i, x0i] * ly * (1 - lx)
-                 + features[y1i, x1i] * ly * lx)
-            return v
+        # pass 1 — masked max along x per (row, x-bin)
+        idx_x = jnp.clip(ws[:, None] + kk[None, :], 0, W - 1)     # [P, K]
+        ok_x = (ws[:, None] + kk[None, :]) < we[:, None]          # [P, K]
+        g = features[:, idx_x.reshape(-1), :].reshape(H, P, K_cand, C)
+        t1 = jnp.max(jnp.where(ok_x[None, :, :, None], g, -jnp.inf),
+                     axis=2)                                       # [H, P, C]
+        # pass 2 — masked max along y per (y-bin, x-bin)
+        idx_y = jnp.clip(hs[:, None] + kk[None, :], 0, H - 1)     # [P, K]
+        ok_y = (hs[:, None] + kk[None, :]) < he[:, None]
+        g2 = t1[idx_y.reshape(-1)].reshape(P, K_cand, P, C)
+        out = jnp.max(jnp.where(ok_y[:, :, None, None], g2, -jnp.inf),
+                      axis=1)                                      # [P, P, C]
+        empty = (he <= hs)[:, None] | (we <= ws)[None, :]
+        return jnp.where(empty[..., None] | ~jnp.isfinite(out), 0.0, out)
 
-        samples = jax.vmap(
-            lambda y: jax.vmap(lambda x: bilinear(y, x))(xs)
-        )(ys)  # [oy*sr, ox*sr, C]
-        samples = samples.reshape(output_size, sr, output_size, sr, C)
-        return samples.mean(axis=(1, 3))
-
-    return jax.vmap(one_box)(boxes)
+    K = boxes.shape[0]
+    n_chunks = -(-K // chunk)
+    padded = jnp.concatenate(
+        [boxes, jnp.zeros((n_chunks * chunk - K, 4), boxes.dtype)], axis=0)
+    pooled = lax.map(jax.vmap(one_box),
+                     padded.reshape(n_chunks, chunk, 4))
+    return pooled.reshape(n_chunks * chunk, P, P, C)[:K]
 
 
 # ---------------------------------------------------------------------------
@@ -196,20 +250,28 @@ def init_params(key: jax.Array, cfg: FrcnnConfig = FRCNN_VG,
     # C4 backbone: features from res4 (layers[0..2]); res5 is the head
     A = len(cfg.anchor_sizes) * len(cfg.aspect_ratios)
     C4 = 1024
+    Dh = cfg.rpn_hidden_dim if cfg.rpn_hidden_dim > 0 else C4
     return {
         "backbone": backbone,
         "rpn": {
-            "conv": {"w": nrm(ks[1], (3, 3, C4, C4)), "b": zeros((C4,))},
-            "objectness": {"w": nrm(ks[2], (1, 1, C4, A)), "b": zeros((A,))},
-            "deltas": {"w": nrm(ks[3], (1, 1, C4, A * 4)),
+            "conv": {"w": nrm(ks[1], (3, 3, C4, Dh)), "b": zeros((Dh,))},
+            "objectness": {"w": nrm(ks[2], (1, 1, Dh, A)), "b": zeros((A,))},
+            "deltas": {"w": nrm(ks[3], (1, 1, Dh, A * 4)),
                        "b": zeros((A * 4,))},
         },
+        # background LAST (detectron2 convention; do_nms drops scores[:, -1])
         "cls_score": {"w": nrm(ks[4], (2048, cfg.num_classes + 1)),
                       "b": zeros((cfg.num_classes + 1,))},
-        "bbox_pred": {"w": nrm(ks[5], (2048, 4)), "b": zeros((4,))},
-        "attr_cls_emb": nrm(ks[6], (cfg.num_classes + 1, 256)),
-        "attr_fc": {"w": nrm(ks[7], (2048 + 256, 512)), "b": zeros((512,))},
-        "attr_score": {"w": nrm(ks[8], (512, cfg.num_attrs + 1)),
+        "bbox_pred": {
+            "w": nrm(ks[5],
+                     (2048, 4 if cfg.cls_agnostic_bbox_reg
+                      else cfg.num_classes * 4), s=0.001),
+            "b": zeros((4 if cfg.cls_agnostic_bbox_reg
+                        else cfg.num_classes * 4,))},
+        "attr_cls_emb": nrm(ks[6], (cfg.num_classes + 1, 2048 // 8), s=1.0),
+        "attr_fc": {"w": nrm(ks[7], (2048 + 2048 // 8, 2048 // 4)),
+                    "b": zeros((2048 // 4,))},
+        "attr_score": {"w": nrm(ks[8], (2048 // 4, cfg.num_attrs + 1)),
                        "b": zeros((cfg.num_attrs + 1,))},
     }
 
@@ -219,7 +281,8 @@ def _res4_features(params, images, cfg: FrcnnConfig):
     x = jax.nn.relu(resnet.frozen_bn(
         resnet.conv(images, params["backbone"]["conv1"]["w"], stride=2),
         params["backbone"]["bn1"]))
-    x = resnet.max_pool_3x3_s2(x)
+    x = (resnet.max_pool_3x3_s2_caffe(x) if cfg.caffe_maxpool
+         else resnet.max_pool_3x3_s2(x))
     for si, blocks in enumerate(params["backbone"]["layers"][:3]):
         stage_stride = 1 if si == 0 else 2
         for bi, bp in enumerate(blocks):
@@ -229,10 +292,17 @@ def _res4_features(params, images, cfg: FrcnnConfig):
 
 
 def _res5_head(params, rois, cfg: FrcnnConfig):
-    """res5 stage on pooled features [K, P, P, 1024] → [K, 2048]."""
+    """res5 stage on pooled features [K, P, P, 1024] → [K, 2048].
+
+    VG modification (RES5HALVE=False, modeling_frcnn.py:1494-1502):
+    block-0 stride 2 → 1 (conv1 AND shortcut) and every 3×3 conv gets
+    dilation 2 / padding 2, preserving the 14×14 spatial size."""
     x = rois
+    halve = cfg.res5_halve
     for bi, bp in enumerate(params["backbone"]["layers"][3]):
-        x = resnet.bottleneck(x, bp, stride=2 if bi == 0 else 1,
+        stride = (2 if bi == 0 else 1) if halve else 1
+        x = resnet.bottleneck(x, bp, stride=stride,
+                              dilation=1 if halve else 2,
                               stride_in_1x1=cfg.stride_in_1x1)
     return x.mean(axis=(1, 2))
 
@@ -249,7 +319,7 @@ def forward(
     feats = _res4_features(params, image[None], cfg)[0]   # [Hf, Wf, 1024]
     Hf, Wf, _ = feats.shape
 
-    # --- RPN ---------------------------------------------------------------
+    # --- RPN (RPNHead :1453-1497 → find_top_rpn_proposals) ------------------
     rpn = params["rpn"]
     t = jax.nn.relu(resnet.conv(feats[None], rpn["conv"]["w"]) +
                     rpn["conv"]["b"])[0]
@@ -258,38 +328,46 @@ def forward(
     deltas = (resnet.conv(t[None], rpn["deltas"]["w"])
               + rpn["deltas"]["b"])[0].reshape(-1, 4)
     anchors = anchor_grid(Hf, Wf, cfg)
-    proposals = clip_boxes(
-        apply_deltas(anchors, deltas, cfg.rpn_box_weights), H, W)
+    proposals = apply_deltas(anchors, deltas, cfg.rpn_box_weights)
 
     k_pre = min(cfg.pre_nms_topk, proposals.shape[0])
     top_scores, top_idx = jax.lax.top_k(obj, k_pre)
-    top_boxes = proposals[top_idx]
+    top_boxes = clip_boxes(proposals[top_idx], H, W)
     keep_idx, keep_ok = nms_fixed(top_boxes, top_scores,
-                                  cfg.rpn_nms_thresh, cfg.post_nms_topk)
+                                  cfg.rpn_nms_thresh, cfg.post_nms_topk,
+                                  valid=nonempty(top_boxes))
     rois = top_boxes[keep_idx]                             # [post_nms, 4]
 
-    # --- ROI heads (res5) ----------------------------------------------------
-    pooled = roi_align(feats, rois, cfg.pooler_resolution,
-                       1.0 / cfg.feat_stride, cfg.sampling_ratio)
+    # --- ROI heads: RoIPool + res5 (Res5ROIHeads :1415-1450) -----------------
+    pooled = roi_pool(feats, rois, cfg.pooler_resolution,
+                      1.0 / cfg.feat_stride)
     feat_vec = _res5_head(params, pooled, cfg)             # [post_nms, 2048]
-    scores = jax.nn.softmax(
-        feat_vec @ params["cls_score"]["w"] + params["cls_score"]["b"], -1)
+    logits = feat_vec @ params["cls_score"]["w"] + params["cls_score"]["b"]
+    scores = jax.nn.softmax(logits, -1)                    # [N, K+1], bg LAST
     box_deltas = feat_vec @ params["bbox_pred"]["w"] + params["bbox_pred"]["b"]
-    boxes = clip_boxes(
-        apply_deltas(rois, box_deltas, cfg.box_weights), H, W)
 
-    # --- detection selection (class-agnostic single delta, VG style) --------
-    cls_prob = scores[:, 1:]                    # drop background
+    # --- detection selection (do_nms :116-140) -------------------------------
+    # class-max over the foreground columns; the regressed box of the max
+    # class; ONE NMS over all proposals, first MAX_DETECTIONS kept — no
+    # score threshold (do_nms accepts and ignores it)
+    cls_prob = scores[:, :-1]
     best_prob = cls_prob.max(-1)
     best_cls = cls_prob.argmax(-1)
-    det_valid = keep_ok & (best_prob > cfg.score_thresh)
-    det_idx, det_ok = nms_fixed(boxes, best_prob, cfg.detection_nms_thresh,
-                                cfg.max_detections, valid=det_valid)
-    # pad-to-max semantics of the reference (min=max=36): below-threshold
-    # slots are filled by the highest-score remaining boxes
-    fill_idx, _ = nms_fixed(boxes, best_prob, cfg.detection_nms_thresh,
-                            cfg.max_detections, valid=keep_ok)
-    final_idx = jnp.where(det_ok, det_idx, fill_idx)
+    N_p = rois.shape[0]
+    if box_deltas.shape[-1] == 4:      # class-agnostic variant
+        boxes = clip_boxes(
+            apply_deltas(rois, box_deltas, cfg.box_weights), H, W)
+    else:                              # per-class regression (VG)
+        Kc = box_deltas.shape[-1] // 4
+        rep = jnp.repeat(rois, Kc, axis=0)                 # [N*K, 4]
+        all_boxes = clip_boxes(
+            apply_deltas(rep, box_deltas.reshape(N_p * Kc, 4),
+                         cfg.box_weights), H, W).reshape(N_p, Kc, 4)
+        boxes = jnp.take_along_axis(
+            all_boxes, best_cls[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+    final_idx, det_ok = nms_fixed(boxes, best_prob, cfg.detection_nms_thresh,
+                                  cfg.max_detections, valid=keep_ok)
 
     out_boxes = boxes[final_idx]
     norm = out_boxes / jnp.asarray([W, H, W, H], jnp.float32)
@@ -297,38 +375,46 @@ def forward(
     obj_ids = best_cls[final_idx]
     roi_features = feat_vec[final_idx]
 
-    # attribute head (modeling_frcnn ROIOutputs attr path)
-    cls_emb = params["attr_cls_emb"][obj_ids + 1]
+    # attribute head (FastRCNNOutputLayers :1643-1655 + _predict_attrs
+    # :1165-1168): class embedding of the argmax over ALL classes
+    # (background included); attr softmax drops the LAST logit
+    emb_cls = logits.argmax(-1)[final_idx]
+    cls_emb = params["attr_cls_emb"][emb_cls]
     ah = jax.nn.relu(
         jnp.concatenate([roi_features, cls_emb], -1)
         @ params["attr_fc"]["w"] + params["attr_fc"]["b"])
-    attr_scores = jax.nn.softmax(
-        ah @ params["attr_score"]["w"] + params["attr_score"]["b"], -1)
+    attr_logits = ah @ params["attr_score"]["w"] + params["attr_score"]["b"]
+    attr_prob = jax.nn.softmax(attr_logits[:, :-1], -1)
     return {
         "roi_features": roi_features,
         "boxes": out_boxes,
         "normalized_boxes": norm,
         "obj_ids": obj_ids,
         "obj_probs": obj_probs,
-        "attr_ids": attr_scores[:, 1:].argmax(-1),
-        "attr_probs": attr_scores[:, 1:].max(-1),
-        # reference runs MIN_DETECTIONS == MAX_DETECTIONS == 36: every
-        # slot is used (below-threshold slots backfilled above)
-        "valid": jnp.ones_like(det_ok),
-        "above_threshold": det_ok,
+        "attr_ids": attr_prob.argmax(-1),
+        "attr_probs": attr_prob.max(-1),
+        # reference runs MIN_DETECTIONS == MAX_DETECTIONS == 36; with a
+        # realistic image every slot holds a real (NMS-surviving) box
+        "valid": det_ok,
+        "rois": rois,
+        "roi_valid": keep_ok,
+        "roi_scores": top_scores[keep_idx],
+        "det_scores": best_prob,
     }
 
 
 def preprocess(image_u8: jnp.ndarray, target_shortest: int = 800,
                longest_cap: int = 1333,
                pixel_mean: Sequence[float] = (102.9801, 115.9465, 122.7717),
+               pixel_std: Sequence[float] = (1.0, 1.0, 1.0),
                ) -> jnp.ndarray:
     """detectron2-caffe preprocessing (processing_image.py:29-134):
-    BGR channel order, mean subtraction (no std), resize shortest edge.
-    Input RGB uint8 [H, W, 3]."""
+    BGR channel order, (x - mean) / std (std = 1), resize shortest edge
+    with the int(x + 0.5) size rounding. Input RGB uint8 [H, W, 3]."""
     from transformer_mm_explainability_tpu.ops import image as img_ops
 
     img = image_u8.astype(jnp.float32)[..., ::-1]  # RGB → BGR
-    img = img - jnp.asarray(pixel_mean, jnp.float32)
+    img = (img - jnp.asarray(pixel_mean, jnp.float32)) / jnp.asarray(
+        pixel_std, jnp.float32)
     return img_ops.resize_shortest_edge(img, target_shortest, longest_cap,
                                         method="bilinear")

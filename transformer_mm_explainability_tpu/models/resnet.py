@@ -51,6 +51,23 @@ def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def max_pool_3x3_s2_caffe(x: jnp.ndarray) -> jnp.ndarray:
+    """Caffe-style stem pool: kernel 3, stride 2, pad 0, ceil_mode=True
+    (the FRCNN reference's MODEL.MAX_POOL stem, modeling_frcnn.py:794).
+    Ceil mode = pad only bottom/right so the last partial window is
+    kept; -inf padding makes the partial-window max identical to
+    caffe's boundary clamping."""
+    _, H, W, _ = x.shape
+    out_h = -(-(H - 3) // 2) + 1   # ceil((H-3)/2) + 1
+    out_w = -(-(W - 3) // 2) + 1
+    pad_h = (out_h - 1) * 2 + 3 - H
+    pad_w = (out_w - 1) * 2 + 3 - W
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (0, pad_h), (0, pad_w), (0, 0)],
+    )
+
+
 def bottleneck(x: jnp.ndarray, p: Dict[str, Any], stride: int,
                dilation: int = 1, stride_in_1x1: bool = False) -> jnp.ndarray:
     """``stride_in_1x1`` selects the caffe/detectron2 variant (stride on
