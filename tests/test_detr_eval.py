@@ -49,9 +49,11 @@ def test_detr_eval_end_to_end(mini_coco):
     result = detr_eval.evaluate(
         params, mini_coco, CFG, segm_cfg, max_images=2, shortest=64,
         printer=lambda *a: None)
-    assert "segm_mAP" in result
-    assert 0.0 <= result["segm_mAP"] <= 1.0
-    assert "AP@0.20" in result
+    # the full COCOeval 12-stat vector
+    for k in ("AP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large",
+              "AR_1", "AR_10", "AR_100"):
+        assert k in result
+        assert result[k] == -1.0 or 0.0 <= result[k] <= 1.0
 
 
 def test_prepare_image_shapes():
@@ -93,3 +95,38 @@ def test_segm_heads():
     masks = detr_segm_heads.post_process_segm(logits, (32, 32))
     assert masks.shape == (B * Qn, 32, 32)
     assert set(np.unique(np.asarray(masks))) <= {0.0, 1.0}
+
+
+@pytest.mark.parametrize("method", [
+    # DETR/mask_generator.py:95-115, verbatim
+    "ours_with_lrp", "ours_no_lrp", "ablation_no_self_in_10",
+    "ablation_no_aggregation", "ours_no_lrp_no_norm", "transformer_att",
+    "raw_attn", "attn_gradcam", "rollout", "partial_lrp",
+])
+def test_segm_method_dispatch(method):
+    """Every reference mask-generator method produces finite masks
+    through the segm harness."""
+    from transformer_mm_explainability_tpu.explain import detr as expl
+    assert method in expl.DETR_METHODS
+
+    params = jdetr.init_params(jax.random.PRNGKey(0), CFG)
+    img = jnp.asarray(
+        np.random.RandomState(0).randn(64, 96, 3).astype(np.float32))
+    segm_cfg = detr_segm.SegmConfig(confidence_threshold=0.0,
+                                    max_detections=3, method=method)
+    out = detr_segm.explain_image(params, img, CFG, segm_cfg)
+    assert out["masks"].shape == (3, 64, 96)
+    assert np.isfinite(out["masks"]).all()
+    assert set(np.unique(out["masks"])) <= {0.0, 1.0}
+
+
+def test_unknown_segm_method_rejected():
+    from transformer_mm_explainability_tpu.explain import detr as expl
+
+    params = jdetr.init_params(jax.random.PRNGKey(0), CFG)
+    img = jnp.zeros((64, 96, 3))
+    with pytest.raises(ValueError, match="valid"):
+        detr_segm.explain_image(
+            params, img, CFG,
+            detr_segm.SegmConfig(confidence_threshold=0.0,
+                                 max_detections=2, method="bogus"))

@@ -131,11 +131,18 @@ class CocoDetection:
         boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
         labels = np.asarray([a["category_id"] for a in anns], np.int64)
         keep = (boxes[:, 3] > boxes[:, 1]) & (boxes[:, 2] > boxes[:, 0])
+        iscrowd = np.asarray([int(a.get("iscrowd", 0)) for a in anns],
+                             np.int64)
+        area = np.asarray([float(a.get("area",
+                                       a["bbox"][2] * a["bbox"][3]))
+                           for a in anns], np.float64)
         out: Dict[str, np.ndarray] = {
             "image_id": np.asarray(image_id),
             "orig_size": np.asarray([h, w]),
             "boxes_xyxy": boxes[keep],
             "labels": labels[keep],
+            "iscrowd": iscrowd[keep],
+            "area": area[keep],
         }
         # normalised cxcywh (the training target format)
         b = boxes[keep]

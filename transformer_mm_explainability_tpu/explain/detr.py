@@ -130,16 +130,10 @@ def generate_ours_no_agg(params, image, target_queries, target_classes,
                                axis=1)[:, 0]
 
 
-def generate_ours_lrp(
-    params, image, target_queries, target_classes,
-    cfg=detr_model.DETR_R50, pad_valid=None,
-    normalize_self_attention: bool = True,
-    apply_self_in_rule_10: bool = True,
-):
-    """'ours_with_lrp' (ExplanationGenerator.py:142-195 use_lrp=True):
-    the propagation chain consumes relprop cams instead of raw A."""
-    from transformer_mm_explainability_tpu.models import detr_lrp
-
+def _batched_targets(image, target_queries, target_classes, cfg,
+                     pad_valid):
+    """Replicate the image K times with per-element (query, class)
+    one-hots so K explanations ride one batch axis."""
     K = target_queries.shape[0]
     images = jnp.broadcast_to(image[None], (K,) + image.shape)
     one_hot = jax.nn.one_hot(target_classes, cfg.num_classes + 1)
@@ -147,8 +141,14 @@ def generate_ours_lrp(
     oh = oh.at[jnp.arange(K), target_queries].set(one_hot)
     masks = (None if pad_valid is None
              else jnp.broadcast_to(pad_valid[None], (K,) + pad_valid.shape))
-    _, attn, grads = detr_model.capture(params, images, oh, masks, cfg)
-    # relprop pass for the cams (recomputes the transformer with a tape)
+    return images, oh, masks
+
+
+def _relprop_cams(params, images, oh, masks, cfg, image_shape,
+                  pad_valid=None):
+    """LRP relprop cams for the batched targets (recomputes the
+    transformer with a tape; models/detr_lrp.relprop)."""
+    from transformer_mm_explainability_tpu.models import detr_lrp
     from transformer_mm_explainability_tpu.models import resnet
 
     feats = resnet.forward(params["backbone"], images,
@@ -157,7 +157,7 @@ def generate_ours_lrp(
     src = feats.reshape(Kb, Hf * Wf, C) @ params["input_proj"]["w"] \
         + params["input_proj"]["b"]
     valid = (jnp.ones((Kb, Hf, Wf)) if pad_valid is None else
-             masks[:, ::image.shape[0] // Hf, ::image.shape[1] // Wf]
+             masks[:, ::image_shape[0] // Hf, ::image_shape[1] // Wf]
              [:, :Hf, :Wf].astype(jnp.float32))
     pos = detr_model.sine_position_encoding(valid, cfg.d_model // 2)
     pos = pos.reshape(Kb, Hf * Wf, cfg.d_model)
@@ -165,12 +165,73 @@ def generate_ours_lrp(
         params, src, pos, None, cfg,
         detr_model.zero_taps(cfg, Kb, Hf * Wf), return_tape=True)
     _, cams = detr_lrp.relprop(params, tape, hs, oh, cfg)
+    return cams
+
+
+def generate_ours_lrp(
+    params, image, target_queries, target_classes,
+    cfg=detr_model.DETR_R50, pad_valid=None,
+    normalize_self_attention: bool = True,
+    apply_self_in_rule_10: bool = True,
+):
+    """'ours_with_lrp' (ExplanationGenerator.py:142-195 use_lrp=True):
+    the propagation chain consumes relprop cams instead of raw A."""
+    images, oh, masks = _batched_targets(image, target_queries,
+                                         target_classes, cfg, pad_valid)
+    _, attn, grads = detr_model.capture(params, images, oh, masks, cfg)
+    cams = _relprop_cams(params, images, oh, masks, cfg, image.shape,
+                         pad_valid)
     R_qi = _per_example(
         cams, grads,
         lambda a, g: relevancy_from_capture(
             a, g, normalize_self_attention, apply_self_in_rule_10))
     return jnp.take_along_axis(R_qi, target_queries[:, None, None],
                                axis=1)[:, 0]
+
+
+# the reference mask generator's --method family
+# (DETR/mask_generator.py:95-115)
+DETR_METHODS = (
+    "ours_with_lrp", "ours_no_lrp", "ours_no_lrp_no_norm",
+    "ablation_no_self_in_10", "ablation_no_aggregation",
+    "transformer_att", "partial_lrp", "raw_attn", "attn_gradcam",
+    "rollout",
+)
+
+
+def generate(method: str, params, image, target_queries, target_classes,
+             cfg=detr_model.DETR_R50, pad_valid=None) -> jnp.ndarray:
+    """Dispatch any reference method name → [K, S] relevancy rows
+    (mask_generator.py:95-115)."""
+    args = (params, image, target_queries, target_classes, cfg, pad_valid)
+    if method == "ours_no_lrp":
+        return generate_ours(*args)
+    if method == "ours_no_lrp_no_norm":
+        return generate_ours(*args, normalize_self_attention=False)
+    if method == "ablation_no_self_in_10":
+        return generate_ours(*args, apply_self_in_rule_10=False)
+    if method == "ablation_no_aggregation":
+        return generate_ours_no_agg(*args)
+    if method == "ours_with_lrp":
+        return generate_ours_lrp(*args)
+    if method not in DETR_METHODS:
+        raise ValueError(
+            f"unknown DETR explanation method {method!r}; valid: "
+            f"{sorted(DETR_METHODS)}")
+    images, oh, masks = _batched_targets(image, target_queries,
+                                         target_classes, cfg, pad_valid)
+    _, attn, grads = detr_model.capture(params, images, oh, masks, cfg)
+    if method == "raw_attn":
+        return generate_raw_attn(attn, target_queries)
+    if method == "attn_gradcam":
+        return generate_attn_gradcam(attn, grads, target_queries)
+    if method == "rollout":
+        return generate_rollout(attn, target_queries)
+    cams = _relprop_cams(params, images, oh, masks, cfg, image.shape,
+                         pad_valid)
+    if method == "transformer_att":
+        return generate_transformer_att(cams, grads, target_queries)
+    return generate_partial_lrp(cams, target_queries)  # partial_lrp
 
 
 def generate_transformer_att(cams, grads, target_queries: jnp.ndarray

@@ -2,8 +2,9 @@
 --masks path, C17 end-to-end wiring).
 
 Drives data/coco.CocoDetection through harness/detr_segm.explain_image
-and scores with the pycocotools-free segm mAP (IoU band lowered to
-0.2:0.95 per the reference protocol, README.rst:116-145).
+and scores with the COCOeval-faithful evaluator (harness/coco_eval —
+the reference protocol's pycocotools ``CocoEvaluator``,
+DETR/engine.py:153-216; ``iou_thresholds`` lets the band be lowered).
 """
 
 from __future__ import annotations
@@ -45,8 +46,10 @@ def evaluate(
     printer=print,
 ) -> Dict[str, float]:
     """Per-image: preprocess → detect → batched per-query relevancy →
-    Otsu masks → match against GT instance masks. Returns segm mAP."""
-    detections: List[Dict] = []
+    Otsu masks → COCOeval-faithful scoring. Returns the 12-stat dict."""
+    from transformer_mm_explainability_tpu.harness.coco_eval import CocoEval
+
+    evaluator = CocoEval(iou_type="segm", iou_thrs=iou_thresholds)
     ids = dataset.image_ids[:max_images]
     for n, image_id in enumerate(ids):
         raw = dataset.load_image(image_id)
@@ -58,8 +61,6 @@ def evaluate(
         H, W = raw.shape[:2]
         # GT masks were rasterised at the original size; resize pred
         # masks back from the padded/resized grid
-        ph, pw = img.shape[:2]
-        # portion of the padded canvas covered by the resized image
         scale = shortest / min(H, W)
         if max(H, W) * scale > 1333:
             scale = 1333 / max(H, W)
@@ -69,17 +70,25 @@ def evaluate(
 
         pred_masks = np.asarray(jax.image.resize(
             jnp.asarray(pred_masks), (pred_masks.shape[0], H, W),
-            method="nearest"))
+            method="nearest"))[k]
         gt_masks = target.get("masks", np.zeros((0, H, W), np.uint8))
-        iou = detr_segm.mask_iou(pred_masks[k], gt_masks)
-        detections.append({
-            "scores": out["scores"][k],
-            "classes": out["classes"][k],
-            "iou": iou,
-            "gt_classes": target["labels"],
-        })
+        gts = [{"category_id": int(c), "mask": m,
+                "iscrowd": int(cr), "area": float(a)}
+               for c, m, cr, a in zip(target["labels"], gt_masks,
+                                      target.get("iscrowd",
+                                                 np.zeros(len(gt_masks))),
+                                      target.get("area",
+                                                 gt_masks.reshape(
+                                                     len(gt_masks), -1)
+                                                 .sum(-1)))]
+        dts = [{"category_id": int(c), "score": float(s), "mask": m}
+               for c, s, m in zip(out["classes"][k], out["scores"][k],
+                                  pred_masks)]
+        evaluator.add_image(gts, dts, image_id=int(image_id))
         if (n + 1) % 50 == 0:
             printer(f"[{n + 1}/{len(ids)}] images explained")
-    result = detr_segm.segm_map(detections, iou_thresholds)
-    printer(f"segm mAP (IoU 0.2:0.95): {result['segm_mAP']:.4f}")
-    return result
+    evaluator.accumulate()
+    stats = evaluator.summarize()
+    printer(f"segm AP: {stats['AP']:.4f}  AP50: {stats['AP50']:.4f}  "
+            f"AP75: {stats['AP75']:.4f}")
+    return stats

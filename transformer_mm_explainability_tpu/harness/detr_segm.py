@@ -32,7 +32,9 @@ from transformer_mm_explainability_tpu.ops.otsu import otsu_binarize
 @dataclasses.dataclass(frozen=True)
 class SegmConfig:
     confidence_threshold: float = 0.5
-    max_detections: int = 20
+    # the reference explains EVERY conf>0.5 query of the 100
+    # (mask_generator.py:50-51) — the cap exists only for static shapes
+    max_detections: int = 100
     method: str = "ours_no_lrp"
 
 
@@ -82,14 +84,8 @@ def explain_image(
     q, c, valid = keep_detections(
         logits, segm_cfg.confidence_threshold, segm_cfg.max_detections)
 
-    if segm_cfg.method == "ours_no_lrp":
-        rel = expl_detr.generate_ours(
-            params, image, jnp.asarray(q), jnp.asarray(c), cfg, pad_valid)
-    elif segm_cfg.method == "raw_attn":
-        rel = expl_detr.generate_raw_attn(out["attn"], jnp.asarray(q[:1]))
-        rel = jnp.broadcast_to(rel, (len(q), rel.shape[-1]))
-    else:
-        raise ValueError(f"unknown method {segm_cfg.method}")
+    rel = expl_detr.generate(segm_cfg.method, params, image,
+                             jnp.asarray(q), jnp.asarray(c), cfg, pad_valid)
 
     Hf, Wf = out["feat_hw"]
     H, W = image.shape[:2]
