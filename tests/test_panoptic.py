@@ -1,0 +1,220 @@
+"""Panoptic postprocess parity vs the reference PostProcessPanoptic
+(DETR/models/segmentation.py:245-366) + PQ metric semantics."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE, requires_reference
+
+torch = pytest.importorskip("torch")
+
+from transformer_mm_explainability_tpu.harness import panoptic as pano
+
+Q, C, FH, FW = 12, 6, 16, 24   # queries, classes (bg = C), mask grid
+H, W = 48, 72                  # processed size
+IS_THING = {i: (i % 2 == 0) for i in range(C + 1)}
+
+
+def _id2rgb(id_map):
+    id_map = np.asarray(id_map, np.int64)
+    return np.stack([id_map % 256, (id_map // 256) % 256,
+                     (id_map // 65536) % 256], axis=-1).astype(np.uint8)
+
+
+def _rgb2id(color):
+    color = np.asarray(color, np.int64)
+    return color[..., 0] + 256 * color[..., 1] + 65536 * color[..., 2]
+
+
+def _load_ref_postprocess():
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    import importlib.machinery
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.__version__ = "0.8.2"
+        ops = types.ModuleType("torchvision.ops")
+        bx = types.ModuleType("torchvision.ops.boxes")
+        bx.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        ops.boxes = bx
+        misc = types.ModuleType("torchvision.ops.misc")
+        misc.interpolate = torch.nn.functional.interpolate
+        ops.misc = misc
+        tv.ops = ops
+        models = types.ModuleType("torchvision.models")
+        mutils = types.ModuleType("torchvision.models._utils")
+
+        class _ILG:  # never instantiated here
+            def __init__(self, *a, **k):
+                raise NotImplementedError
+
+        mutils.IntermediateLayerGetter = _ILG
+        models._utils = mutils
+        tv.models = models
+        for name, mod in (("torchvision", tv), ("torchvision.ops", ops),
+                          ("torchvision.ops.boxes", bx),
+                          ("torchvision.ops.misc", misc),
+                          ("torchvision.models", models),
+                          ("torchvision.models._utils", mutils)):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod
+    if "panopticapi" not in sys.modules:
+        papi = types.ModuleType("panopticapi")
+        putils = types.ModuleType("panopticapi.utils")
+        putils.id2rgb = _id2rgb
+        putils.rgb2id = _rgb2id
+        papi.utils = putils
+        for name, mod in (("panopticapi", papi),
+                          ("panopticapi.utils", putils)):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod
+    import importlib
+
+    seg = importlib.import_module("DETR.models.segmentation")
+    # the module guards the panopticapi import with try/except; inject
+    # the shims if the guard swallowed them before our stub existed
+    if not hasattr(seg, "id2rgb"):
+        seg.id2rgb = _id2rgb
+        seg.rgb2id = _rgb2id
+    return seg
+
+
+def _synthetic_outputs(seed=0):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(Q, C + 1).astype(np.float32)
+    # force a deterministic mix: 5 confident fg queries (2 sharing a
+    # stuff class), the rest background/low-confidence
+    logits[:, :] = -3.0
+    confident = [(0, 1), (2, 3), (4, 3), (6, 2), (8, 5)]
+    for q, c in confident:
+        logits[q, c] = 6.0
+    logits[1, C] = 6.0      # background
+    logits[3, 4] = 0.5      # low confidence → dropped by threshold
+    masks = rng.randn(Q, FH, FW).astype(np.float32) * 2.0
+    # spatially separate blobs so segments have real areas
+    for i, (q, c) in enumerate(confident):
+        masks[q] = -4.0
+        y = (i * FH) // len(confident)
+        masks[q, y:y + FH // len(confident) + 1,
+              (i * 3) % FW:(i * 3) % FW + 14] = 5.0
+    return logits, masks
+
+
+@requires_reference
+def test_postprocess_panoptic_parity():
+    seg = _load_ref_postprocess()
+    logits, masks = _synthetic_outputs()
+
+    ref_pp = seg.PostProcessPanoptic(IS_THING, threshold=0.85)
+    outputs = {
+        "pred_logits": torch.from_numpy(logits)[None],
+        "pred_masks": torch.from_numpy(masks)[None],
+        "pred_boxes": torch.rand(1, Q, 4),
+    }
+    ref = ref_pp(outputs, processed_sizes=[(H, W)],
+                 target_sizes=[(H, W)])[0]
+    from PIL import Image
+    import io
+
+    ref_ids = _rgb2id(np.asarray(
+        Image.open(io.BytesIO(ref["png_string"])).convert("RGB")))
+
+    got = pano.post_process_panoptic(
+        logits, masks, (H, W), IS_THING, target_size=(H, W),
+        threshold=0.85)
+
+    np.testing.assert_array_equal(got["id_map"], ref_ids)
+    assert len(got["segments_info"]) == len(ref["segments_info"])
+    for a, b in zip(got["segments_info"], ref["segments_info"]):
+        assert a["id"] == b["id"]
+        assert a["category_id"] == b["category_id"]
+        assert a["isthing"] == b["isthing"]
+        assert a["area"] == b["area"]
+
+
+@requires_reference
+def test_postprocess_panoptic_parity_resized():
+    """Same comparison with target != processed size (exercises the
+    PIL-NEAREST-equivalent id-map resize)."""
+    seg = _load_ref_postprocess()
+    logits, masks = _synthetic_outputs(seed=1)
+    target = (31, 49)
+
+    ref_pp = seg.PostProcessPanoptic(IS_THING, threshold=0.85)
+    outputs = {
+        "pred_logits": torch.from_numpy(logits)[None],
+        "pred_masks": torch.from_numpy(masks)[None],
+        "pred_boxes": torch.rand(1, Q, 4),
+    }
+    ref = ref_pp(outputs, processed_sizes=[(H, W)],
+                 target_sizes=[target])[0]
+    from PIL import Image
+    import io
+
+    ref_ids = _rgb2id(np.asarray(
+        Image.open(io.BytesIO(ref["png_string"])).convert("RGB")))
+    got = pano.post_process_panoptic(
+        logits, masks, (H, W), IS_THING, target_size=target,
+        threshold=0.85)
+    np.testing.assert_array_equal(got["id_map"], ref_ids)
+    assert [s["area"] for s in got["segments_info"]] == [
+        s["area"] for s in ref["segments_info"]]
+
+
+def test_pq_perfect_match():
+    ids = np.zeros((20, 20), np.int64)
+    ids[:10] = 1
+    ids[10:] = 2
+    info = [{"id": 1, "category_id": 3}, {"id": 2, "category_id": 4}]
+    cats = {3: {"isthing": True}, 4: {"isthing": False}}
+    r = pano.pq_compute([(ids, info)], [(ids, info)], cats)
+    assert r["All"]["pq"] == pytest.approx(1.0)
+    assert r["Things"]["n"] == 1 and r["Stuff"]["n"] == 1
+
+
+def test_pq_miss_and_fp():
+    gt = np.zeros((10, 10), np.int64)
+    gt[:, :5] = 1
+    gt_info = [{"id": 1, "category_id": 3}]
+    pr = np.zeros((10, 10), np.int64)
+    pr[:, 5:] = 7                      # no overlap with the gt segment
+    pr_info = [{"id": 7, "category_id": 3}]
+    cats = {3: {"isthing": True}}
+    r = pano.pq_compute([(gt, gt_info)], [(pr, pr_info)], cats)
+    # TP=0, FP=1, FN=1 → PQ = 0
+    assert r["All"]["pq"] == 0.0
+
+
+def test_pq_iou_accounting():
+    """One matched pair: PQ = SQ*RQ with the VOID-corrected union."""
+    gt = np.zeros((10, 8), np.int64)
+    gt[:8] = 1                          # 64 px
+    pr = np.zeros((10, 8), np.int64)
+    pr[2:10] = 1
+    # overlap 48; VOID∩pred = 16 → union = 64+64-48-16 = 64 (panopticapi
+    # subtracts the prediction's VOID overlap) → IoU = 0.75
+    info = [{"id": 1, "category_id": 2}]
+    cats = {2: {"isthing": True}}
+    r = pano.pq_compute([(gt, info)], [(pr, info)], cats)
+    assert r["All"]["sq"] == pytest.approx(0.75)
+    assert r["All"]["rq"] == pytest.approx(1.0)
+    assert r["All"]["pq"] == pytest.approx(0.75)
+
+
+def test_pq_void_and_crowd():
+    """Predictions mostly covering VOID / same-class crowd are not FP;
+    crowd gts are never FN."""
+    gt = np.zeros((10, 10), np.int64)   # all VOID except a crowd region
+    gt[:5] = 9
+    gt_info = [{"id": 9, "category_id": 2, "iscrowd": 1}]
+    pr = np.zeros((10, 10), np.int64)
+    pr[:6] = 1                          # 50 px on crowd + 10 px void
+    pr_info = [{"id": 1, "category_id": 2}]
+    cats = {2: {"isthing": True}}
+    r = pano.pq_compute([(gt, gt_info)], [(pr, pr_info)], cats)
+    # no scoreable segments at all → category never enters the average
+    assert r["All"]["n"] == 0 and r["All"]["pq"] == 0.0
