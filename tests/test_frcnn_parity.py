@@ -200,6 +200,7 @@ def _install_torchvision_shim():
     boxes_mod = types.ModuleType("torchvision.ops.boxes")
     boxes_mod.batched_nms = tv_batched_nms
     boxes_mod.nms = tv_nms
+    boxes_mod.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
     ops.boxes = boxes_mod
     ops.nms = tv_nms
     ops.batched_nms = tv_batched_nms
