@@ -80,6 +80,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="vocab.txt (bert-base-uncased layout)")
     common(sp)
 
+    sp = sub.add_parser("lxmert-finetune",
+                        help="LXMERT task finetune loop "
+                             "(lxmert/src/tasks/vqa.py + "
+                             "run/vqa_finetune.bash surface)")
+    sp.add_argument("--task", choices=["vqa", "gqa"], default="vqa")
+    sp.add_argument("--train-questions", default=None)
+    sp.add_argument("--valid-questions", default=None)
+    sp.add_argument("--features", default=None, help="object TSV")
+    sp.add_argument("--ans2label", default=None)
+    sp.add_argument("--label2ans", default=None)
+    sp.add_argument("--bert-vocab", default=None)
+    sp.add_argument("--llayers", type=int, default=9)
+    sp.add_argument("--xlayers", type=int, default=5)
+    sp.add_argument("--rlayers", type=int, default=5)
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--lr", type=float, default=5e-5)
+    sp.add_argument("--epochs", type=int, default=4)
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument("--seed", type=int, default=9595)
+
     sp = sub.add_parser("detr-eval",
                         help="DETR explanation-segmentation eval")
     sp.add_argument("--coco-path", default=None,
@@ -237,6 +257,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_explain_clip(args)
     if args.command == "perturbation":
         return cmd_perturbation(args)
+    if args.command == "lxmert-finetune":
+        from transformer_mm_explainability_tpu.train import lxmert_tasks
+
+        return lxmert_tasks.run_from_args(args)
     if args.command == "detr-eval":
         return cmd_detr_eval(args)
     if args.command == "bench":
