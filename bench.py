@@ -6,9 +6,17 @@ Prints ONE JSON line:
 Baseline: the BASELINE.json north star demands ≥1,000 maps/s on a
 v5e-8 → 125 maps/s/chip. vs_baseline = value / 125.
 
-The reference implementation computes one map per fwd+bwd+hook-loop on a
-GPU; here the whole pipeline (fwd, one bwd for all layer ∇A, scan of the
-relevancy chain) is a single XLA program, batched.
+The HEADLINE number is the fp32 parity path — ``relevancy_fused``:
+one fwd (taping x_in/x_mid/pre-GELU) + one hand-rolled bwd whose
+attention backward is a fused Pallas kernel producing dQKV AND the
+rule-6 rollout-row fold in VMEM (attention probabilities never touch
+HBM). Outputs match the parity-tested ``relevancy`` to fp32 noise.
+``bf16_maps_per_sec`` (reported alongside) is the throughput mode
+(bf16 weights/activations, fp32 softmax + relevancy accumulation).
+
+Dispatches are pipelined (depth 3) so the tunnel round-trip overlaps
+with chip compute; every map still round-trips to the host, so this is
+sustained end-to-end throughput, not a device-only timer.
 """
 
 import json
@@ -23,6 +31,24 @@ import numpy as np
 BASELINE_MAPS_PER_CHIP = 125.0
 
 
+def _sustained(fn, args, iters: int, depth: int = 3) -> float:
+    """Pipelined host-readback timing → seconds per call."""
+    import jax
+
+    np.asarray(fn(*args))  # warm / compile
+    inflight = []
+    t0 = time.time()
+    for _ in range(iters):
+        inflight.append(fn(*args))
+        if len(inflight) >= depth:
+            # full-array host readback (not a device-side reduction):
+            # every map crosses back to the host
+            np.asarray(inflight.pop(0))
+    for out in inflight:
+        np.asarray(out)
+    return (time.time() - t0) / iters
+
+
 def main():
     import jax
 
@@ -33,7 +59,6 @@ def main():
     import jax.numpy as jnp
 
     from transformer_mm_explainability_tpu.models import vit
-
     from transformer_mm_explainability_tpu.utils.tpu import (
         setup_compilation_cache,
     )
@@ -42,44 +67,38 @@ def main():
 
     cfg = vit.VIT_B_16
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
-    if on_tpu:
-        # throughput mode: bf16 weights/activations, fp32 softmax +
-        # relevancy accumulation (the parity-critical reductions)
-        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    # row-streamed path: per-layer VJPs fold Ê into the CLS row of the
-    # rollout during the backward — no [L,B,H,S,S] stacks, and the
-    # chain is vector-matrix. Produces exactly the notebook's
-    # generate_relevance output (R[0, 1:]).
-    if on_tpu:
-        fn = jax.jit(
-            lambda p, im, tg: vit.relevancy_streamed_row(p, im, tg, cfg))
-    else:
-        fn = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))
-
-    B = 256 if on_tpu else 4
+    B = 56 if on_tpu else 4
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
-    if on_tpu:
-        images = images.astype(jnp.bfloat16)
     targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
 
-    # warm-up / compile
-    float(fn(params, images, targets).sum())
+    if on_tpu:
+        fused = jax.jit(lambda p, im, tg: vit.relevancy_fused(
+            p, im, tg, cfg, interpret=False))
+        dt = _sustained(fused, (params, images, targets), iters=16)
+        fp32_rate = B / dt
 
-    iters = 10 if on_tpu else 2
-    t0 = time.time()
-    for _ in range(iters):
-        # host readback forces real synchronisation through the tunnel
-        float(fn(params, images, targets).sum())
-    dt = (time.time() - t0) / iters
-    maps_per_sec = B / dt
+        # throughput mode: bf16 weights/activations, fp32 reductions
+        pb = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        imb = images.astype(jnp.bfloat16)
+        dtb = _sustained(fused, (pb, imb, targets), iters=16)
+        bf16_rate = B / dtb
+    else:
+        fn = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))
+        dt = _sustained(fn, (params, images, targets), iters=2, depth=1)
+        fp32_rate = B / dt
+        bf16_rate = None
 
     print(json.dumps({
-        "metric": "ViT-B/16 relevancy maps/sec/chip (batched fwd+bwd+rules)",
-        "value": round(maps_per_sec, 1),
+        "metric": "ViT-B/16 relevancy maps/sec/chip "
+                  "(fp32 parity path, fused Pallas attn-bwd+Ê)",
+        "value": round(fp32_rate, 1),
         "unit": "maps/sec/chip",
-        "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_CHIP, 2),
+        "vs_baseline": round(fp32_rate / BASELINE_MAPS_PER_CHIP, 2),
+        "bf16_maps_per_sec": (round(bf16_rate, 1)
+                              if bf16_rate is not None else None),
+        "batch": B,
     }))
 
 

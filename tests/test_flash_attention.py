@@ -1,0 +1,119 @@
+"""Fused Pallas attention kernels (interpret mode on CPU, full-f32
+dots): exact parity vs the XLA attention math and its autodiff."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transformer_mm_explainability_tpu.ops import flash_attention as fa
+
+
+def xla_attn(q, k, v):
+    dh = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / np.sqrt(dh)
+    a = jax.nn.softmax(s, -1)
+    return jnp.einsum("bhqk,bhkd->bhqd", a, v,
+                      preferred_element_type=jnp.float32), a
+
+
+def rand(shape, seed=0, scale=0.5):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(*shape).astype(np.float32)
+        * scale)
+
+
+@pytest.mark.parametrize("B,H,S,Dh", [(2, 4, 17, 16), (1, 2, 64, 32),
+                                      (3, 2, 197, 8)])
+def test_flash_fwd_matches_xla(B, H, S, Dh):
+    q, k, v = (rand((B, H, S, Dh), seed=i) for i in range(3))
+    want, _ = xla_attn(q, k, v)
+    got = fa.flash_fwd(q, k, v, interpret=True, fast_dots=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("B,H,S,Dh", [(2, 4, 17, 16), (1, 2, 33, 8)])
+def test_flash_bwd_ehat_matches_autodiff(B, H, S, Dh):
+    q, k, v = (rand((B, H, S, Dh), seed=i) for i in range(3))
+    dout = rand((B, H, S, Dh), seed=7)
+    r = jnp.abs(rand((B, S), seed=9))
+
+    def out_fn(q, k, v):
+        return xla_attn(q, k, v)[0]
+
+    _, vjp = jax.vjp(out_fn, q, k, v)
+    want_dq, want_dk, want_dv = vjp(dout)
+    # e_row reference: r · mean_h relu(A ∘ dA)
+    _, a = xla_attn(q, k, v)
+    da = jnp.einsum("bhqd,bhkd->bhqk", dout, v)
+    e = jnp.maximum(a * da, 0.0).mean(axis=1)
+    want_e = jnp.einsum("bq,bqk->bk", r, e)
+
+    dq, dk, dv, e_row = fa.flash_bwd_ehat(q, k, v, dout, r,
+                                          interpret=True, fast_dots=False)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(want_dq),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(want_dk),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(want_dv),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e_row), np.asarray(want_e),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("B,H,S,D", [(2, 4, 17, 64), (1, 6, 49, 96)])
+def test_qkv_layout_kernels_match_split_kernels(B, H, S, D):
+    """The transpose-free [B, S, 3D] variants == the per-head variants
+    == XLA, including the head-grouping path (Dh < 128)."""
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(B, S, 3 * D).astype(np.float32) * 0.3)
+    dmerged = jnp.asarray(rng.randn(B, S, D).astype(np.float32) * 0.3)
+    r = jnp.asarray(rng.rand(B, S).astype(np.float32))
+    Dh = D // H
+
+    def split_heads(x):
+        return x.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+
+    q, k, v = (split_heads(t) for t in jnp.split(qkv, 3, axis=-1))
+    want_out, _ = xla_attn(q, k, v)
+    got_out = fa.flash_fwd_qkv(qkv, H, interpret=True, fast_dots=False)
+    np.testing.assert_allclose(
+        np.asarray(got_out),
+        np.asarray(want_out.transpose(0, 2, 1, 3).reshape(B, S, D)),
+        rtol=1e-5, atol=1e-6)
+
+    dout = split_heads(dmerged)
+    want_dq, want_dk, want_dv, want_e = fa.flash_bwd_ehat(
+        q, k, v, dout, r, interpret=True, fast_dots=False)
+    got_dqkv, got_e = fa.flash_bwd_ehat_qkv(qkv, dmerged, r, H,
+                                            interpret=True,
+                                            fast_dots=False)
+    merge = lambda x: x.transpose(0, 2, 1, 3).reshape(B, S, D)
+    want_dqkv = jnp.concatenate(
+        [merge(want_dq), merge(want_dk), merge(want_dv)], axis=-1)
+    np.testing.assert_allclose(np.asarray(got_dqkv),
+                               np.asarray(want_dqkv),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_relevancy_fused_matches_reference_chain():
+    """relevancy_fused == the parity-tested relevancy (to fp32
+    recompute noise) and == relevancy_streamed_row (same structure)."""
+    from transformer_mm_explainability_tpu.models import vit
+
+    cfg = vit.ViTConfig(image_size=64, patch_size=16, width=64, depth=3,
+                        num_heads=4, mlp_ratio=4, num_classes=10)
+    p = vit.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    im = jnp.asarray(rng.randn(3, 64, 64, 3).astype(np.float32))
+    tg = jnp.asarray([1, 2, 3])
+    ref = np.asarray(vit.relevancy(p, im, tg, cfg))
+    row = np.asarray(vit.relevancy_streamed_row(p, im, tg, cfg))
+    got = np.asarray(vit.relevancy_fused(p, im, tg, cfg, interpret=True))
+    np.testing.assert_allclose(got, row, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-5)

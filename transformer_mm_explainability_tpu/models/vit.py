@@ -313,6 +313,110 @@ def relevancy_streamed_row(
     return r[:, 1:]
 
 
+def relevancy_fused(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    targets: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+    row: int = 0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """``relevancy_streamed_row`` with fused Pallas attention kernels —
+    the speed-of-light fp32 path.
+
+    vs the per-layer-VJP variant:
+      * attention probabilities NEVER touch HBM: the forward uses a
+        flash kernel, and the backward recomputes A in VMEM while
+        emitting dq/dk/dv AND the rule-6 row fold e_row = r·Ê in one
+        program (ops/flash_attention.flash_bwd_ehat);
+      * the forward tapes (x_in, x_mid, pre-GELU) per layer, so the
+        backward re-runs NO matmuls beyond the cotangent products —
+        the MLP backward drops from 4 big matmuls (vjp-with-recompute)
+        to 2.
+
+    Output == ``relevancy(...)[:, row, 1:]`` (same math; fp32 softmax
+    and accumulation; matmuls at the TPU-default bf16-operand/f32-
+    accumulate precision on chip, full f32 in interpret mode).
+    """
+    from transformer_mm_explainability_tpu.ops import flash_attention as fa
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    B = images.shape[0]
+    Hn, S, D = cfg.num_heads, cfg.seq_len, cfg.width
+    stacked = params["blocks"]
+    eps = cfg.ln_eps
+
+    def attn_part(x, p):
+        """x → x_mid: LN1 + fused-QKV + flash attention (merged-head
+        layout end to end — zero transposes) + projection + residual."""
+        h1 = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], eps)
+        qkv = h1 @ p["attn"].w_qkv + p["attn"].b_qkv
+        out = fa.flash_fwd_qkv(qkv, Hn, interpret=interpret)
+        x_mid = x + out @ p["attn"].w_out + p["attn"].b_out
+        return x_mid, None
+
+    def mlp_part(x_mid, p):
+        """x_mid → (x_out, a1): LN2 + MLP + residual, taping pre-GELU."""
+        h2 = layer_norm(x_mid, p["ln2"]["scale"], p["ln2"]["bias"], eps)
+        a1 = h2 @ p["mlp"]["w1"] + p["mlp"]["b1"]
+        x_out = x_mid + gelu(a1) @ p["mlp"]["w2"] + p["mlp"]["b2"]
+        return x_out, a1
+
+    # --- forward, taping (x_in, x_mid, a1) ---------------------------------
+    x = _embed(params, images, cfg)
+
+    def fwd_step(x, p):
+        x_mid, _ = attn_part(x, p)
+        x_out, a1 = mlp_part(x_mid, p)
+        return x_out, (x, x_mid, a1)
+
+    x_final, tape = jax.lax.scan(fwd_step, x, stacked)
+
+    def head_fn(xf):
+        h = layer_norm(xf, params["norm"]["scale"], params["norm"]["bias"],
+                       eps)
+        logits = h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+        return jnp.take_along_axis(logits, targets[:, None], axis=1).sum()
+
+    cot_x = jax.grad(head_fn)(x_final)
+
+    # --- manual per-layer backward + fused Ê fold ---------------------------
+    def bwd_step(carry, inputs):
+        cot_x, r = carry
+        p, (x_in, x_mid, a1) = inputs
+
+        # MLP backward from the taped pre-GELU (2 matmuls, no refwd)
+        d_g = cot_x @ p["mlp"]["w2"].T
+        _, gelu_vjp = jax.vjp(gelu, a1)
+        (d_a1,) = gelu_vjp(d_g)
+        d_h2 = d_a1 @ p["mlp"]["w1"].T
+        _, ln2_vjp = jax.vjp(
+            lambda xm: layer_norm(xm, p["ln2"]["scale"], p["ln2"]["bias"],
+                                  eps), x_mid)
+        (d_xmid_ln,) = ln2_vjp(d_h2)
+        cot_mid = cot_x + d_xmid_ln
+
+        # attention backward: recompute qkv (1 matmul) and run the
+        # fused kernel; the relevancy row folds in the same program
+        h1, ln1_vjp = jax.vjp(
+            lambda xi: layer_norm(xi, p["ln1"]["scale"], p["ln1"]["bias"],
+                                  eps), x_in)
+        qkv = h1 @ p["attn"].w_qkv + p["attn"].b_qkv
+        d_merged = cot_mid @ p["attn"].w_out.T
+        d_qkv, e_row = fa.flash_bwd_ehat_qkv(qkv, d_merged, r, Hn,
+                                             interpret=interpret)
+        d_h1 = d_qkv @ p["attn"].w_qkv.T
+        (d_x_ln,) = ln1_vjp(d_h1)
+        cot_x_in = cot_mid + d_x_ln
+        return (cot_x_in, r + e_row), None
+
+    r0 = jnp.zeros((B, S), jnp.float32).at[:, row].set(1.0)
+    (_, r), _ = jax.lax.scan(bwd_step, (cot_x, r0), (stacked, tape),
+                             reverse=True)
+    return r[:, 1:]
+
+
 def relevancy(
     params: Dict[str, Any],
     images: jnp.ndarray,
