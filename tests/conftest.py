@@ -48,3 +48,29 @@ def load_reference_module(relpath: str, name: str):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def pytest_collection_modifyitems(config, items):
+    """Randomize MODULE execution order when MM_TPU_RANDOM_ORDER is set
+    (to an integer seed, or `1`/empty for a time-free default sweep).
+
+    The suite must be order-independent — round 1 shipped an
+    order-fragile torchvision shim exactly because only the default
+    alphabetical order was ever exercised.  Modules are shuffled as
+    blocks (items within a module stay contiguous, so module-scoped
+    fixtures build once); run several seeds to sweep orderings:
+
+        MM_TPU_RANDOM_ORDER=3 python -m pytest tests/ -q
+    """
+    seed_s = os.environ.get("MM_TPU_RANDOM_ORDER")
+    if seed_s is None:
+        return
+    import random
+
+    rng = random.Random(int(seed_s or "1"))
+    blocks: dict[str, list] = {}
+    for item in items:
+        blocks.setdefault(item.nodeid.split("::")[0], []).append(item)
+    keys = sorted(blocks)
+    rng.shuffle(keys)
+    items[:] = [item for k in keys for item in blocks[k]]

@@ -134,16 +134,11 @@ def test_frcnn_vg_manifest():
         sys.path.insert(0, str(REFERENCE))
     _install_torchvision_shim()
     import importlib
-    import importlib.machinery
-    import types
+
+    from _shims import ensure_stub
 
     for name in ("wget", "cv2"):
-        try:
-            importlib.import_module(name)
-        except ImportError:
-            m = types.ModuleType(name)
-            m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
-            sys.modules[name] = m
+        ensure_stub(name)
     mf = importlib.import_module("lxmert.lxmert.src.modeling_frcnn")
     vu = importlib.import_module("lxmert.lxmert.src.vqa_utils")
     from test_frcnn_parity import _ref_config_dict

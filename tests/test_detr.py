@@ -36,46 +36,15 @@ def _load_ref_transformer():
     import types
 
     # torchvision isn't installed; the DETR package __init__ chain pulls
-    # util/box_ops which only needs box_area — shim it.
-    if "torchvision" not in sys.modules:
-        import torch
+    # util/box_ops (box_area) and backbone (IntermediateLayerGetter) —
+    # use the canonical complete shim, removed again after the import so
+    # transformers' availability probes never see a fake package.
+    from _shims import torchvision_shim
 
-        tv = types.ModuleType("torchvision")
-        ops = types.ModuleType("torchvision.ops")
-        boxes = types.ModuleType("torchvision.ops.boxes")
-
-        def box_area(b):
-            return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-
-        boxes.box_area = box_area
-        ops.boxes = boxes
-        tv.ops = ops
-        tv.__version__ = "0.8.2"
-        models = types.ModuleType("torchvision.models")
-        mutils = types.ModuleType("torchvision.models._utils")
-
-        class IntermediateLayerGetter:  # never instantiated in the tests
-            def __init__(self, *a, **k):
-                raise NotImplementedError
-
-        mutils.IntermediateLayerGetter = IntermediateLayerGetter
-        models._utils = mutils
-        tv.models = models
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = ops
-        sys.modules["torchvision.ops.boxes"] = boxes
-        sys.modules["torchvision.models"] = models
-        sys.modules["torchvision.models._utils"] = mutils
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
-    mod = importlib.import_module("DETR.models.transformer")
-    # drop the shim so transformers' torchvision availability probe in
-    # other test modules doesn't pick up the fake package
-    for name in list(sys.modules):
-        if name == "torchvision" or name.startswith("torchvision."):
-            if isinstance(sys.modules[name], types.ModuleType) and not hasattr(
-                    sys.modules[name], "__file__"):
-                del sys.modules[name]
+    with torchvision_shim():
+        mod = importlib.import_module("DETR.models.transformer")
     return mod
 
 

@@ -26,31 +26,14 @@ def rand_boxes(n, seed=0):
 def test_box_ops_parity():
     """Round-trip + GIoU vs reference util/box_ops (DETR test_all.py:25
     pattern)."""
-    import sys
-    import types
-
     import torch
 
-    # reference box_ops needs torchvision.box_area — shim then clean
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        ops = types.ModuleType("torchvision.ops")
-        bx = types.ModuleType("torchvision.ops.boxes")
-        bx.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-        ops.boxes = bx
-        tv.ops = ops
-        tv.__version__ = "0.8.2"
-        sys.modules.update({"torchvision": tv, "torchvision.ops": ops,
-                            "torchvision.ops.boxes": bx})
-        cleanup = True
-    else:
-        cleanup = False
+    from _shims import torchvision_shim
     from conftest import load_reference_module
 
-    ref = load_reference_module("DETR/util/box_ops.py", "ref_box_ops")
-    if cleanup:
-        for m in ("torchvision", "torchvision.ops", "torchvision.ops.boxes"):
-            sys.modules.pop(m, None)
+    # reference box_ops needs torchvision.box_area — shim then clean
+    with torchvision_shim():
+        ref = load_reference_module("DETR/util/box_ops.py", "ref_box_ops")
 
     b = rand_boxes(6, seed=1)
     xyxy_ref = ref.box_cxcywh_to_xyxy(torch.tensor(b)).numpy()

@@ -110,109 +110,12 @@ def _randomize(model):
 
 
 def _install_torchvision_shim():
-    """torchvision isn't in this image; the reference imports RoIPool /
-    nms / batched_nms from it. These are independent pure-torch
-    implementations of torchvision's documented kernels (scalar loops,
-    no shared code with the JAX side), so the parity test still compares
-    two independent implementations of the same algorithms."""
-    import importlib.machinery
-    import types
+    """Delegates to the canonical complete shim in tests/_shims.py
+    (union of every symbol any reference import needs — round 1's
+    per-file partial shims made the suite order-fragile)."""
+    from _shims import install_torchvision
 
-    if "torchvision" in sys.modules:
-        return
-
-    def tv_nms(boxes, scores, iou_threshold):
-        order = torch.argsort(scores, descending=True).tolist()
-        x1, y1, x2, y2 = boxes.unbind(-1)
-        areas = (x2 - x1) * (y2 - y1)
-        suppressed = [False] * len(order)
-        keep = []
-        pos = {j: k for k, j in enumerate(order)}
-        for j in order:
-            if suppressed[pos[j]]:
-                continue
-            keep.append(j)
-            xx1 = torch.maximum(x1[j], x1)
-            yy1 = torch.maximum(y1[j], y1)
-            xx2 = torch.minimum(x2[j], x2)
-            yy2 = torch.minimum(y2[j], y2)
-            inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
-            iou = inter / (areas[j] + areas - inter)
-            for k, o in enumerate(order):
-                if iou[o] > iou_threshold:
-                    suppressed[k] = True
-        return torch.tensor(keep, dtype=torch.int64)
-
-    def tv_batched_nms(boxes, scores, idxs, iou_threshold):
-        if boxes.numel() == 0:
-            return torch.empty((0,), dtype=torch.int64)
-        max_coord = boxes.max()
-        offsets = idxs.to(boxes) * (max_coord + 1)
-        return tv_nms(boxes + offsets[:, None], scores, iou_threshold)
-
-    class TvRoIPool(torch.nn.Module):
-        """torchvision.ops.RoIPool: round()-quantised boxes, +1 width,
-        floor/ceil bin boundaries, max pooling, empty bins = 0."""
-
-        def __init__(self, output_size, spatial_scale):
-            super().__init__()
-            self.output_size = (output_size if isinstance(output_size, tuple)
-                                else (output_size, output_size))
-            self.spatial_scale = spatial_scale
-
-        def forward(self, feats, rois):
-            import math
-
-            # torchvision's kernel does this arithmetic in T = the
-            # tensor dtype (float32 here), which matters at bin
-            # boundaries: e.g. ceil(7 * (3/7)) is 4 in f32, 3 in f64
-            f32 = np.float32
-            N, C, H, W = feats.shape
-            ph_, pw_ = self.output_size
-            out = torch.zeros((len(rois), C, ph_, pw_), dtype=feats.dtype)
-            for r, roi in enumerate(rois):
-                b = int(roi[0].item())
-                xs = [int(math.floor(f32(v) * f32(self.spatial_scale)
-                                     + f32(0.5)))
-                      for v in roi[1:].tolist()]
-                x0, y0, x1, y1 = xs
-                roi_w = max(x1 - x0 + 1, 1)
-                roi_h = max(y1 - y0 + 1, 1)
-                bw = f32(roi_w) / f32(pw_)
-                bh = f32(roi_h) / f32(ph_)
-                for py in range(ph_):
-                    hs = min(max(int(math.floor(f32(py) * bh)) + y0, 0), H)
-                    he = min(max(int(math.ceil(f32(py + 1) * bh)) + y0, 0),
-                             H)
-                    for px in range(pw_):
-                        ws = min(max(int(math.floor(f32(px) * bw)) + x0, 0),
-                                 W)
-                        we = min(max(int(math.ceil(f32(px + 1) * bw)) + x0,
-                                     0), W)
-                        if he <= hs or we <= ws:
-                            continue
-                        out[r, :, py, px] = (
-                            feats[b, :, hs:he, ws:we].amax(dim=(1, 2)))
-            return out
-
-    tv = types.ModuleType("torchvision")
-    ops = types.ModuleType("torchvision.ops")
-    boxes_mod = types.ModuleType("torchvision.ops.boxes")
-    boxes_mod.batched_nms = tv_batched_nms
-    boxes_mod.nms = tv_nms
-    boxes_mod.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    ops.boxes = boxes_mod
-    ops.nms = tv_nms
-    ops.batched_nms = tv_batched_nms
-    ops.RoIPool = TvRoIPool
-    ops.roi_pool = lambda feats, rois, output_size, spatial_scale: (
-        TvRoIPool(output_size, spatial_scale)(feats, rois))
-    tv.ops = ops
-    tv.__version__ = "0.8.2-shim"
-    for name, mod in (("torchvision", tv), ("torchvision.ops", ops),
-                      ("torchvision.ops.boxes", boxes_mod)):
-        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
-        sys.modules[name] = mod
+    install_torchvision()
 
 
 @pytest.fixture(scope="module")
@@ -223,18 +126,11 @@ def both():
     # vqa_utils has module-level imports of download/vis helpers that
     # this image lacks and the Config/GeneralizedRCNN path never calls
     import importlib
-    import importlib.machinery
-    import types
+
+    from _shims import ensure_stub
 
     for name in ("wget", "cv2"):
-        if name not in sys.modules:
-            try:
-                importlib.import_module(name)
-            except ImportError:
-                shim = types.ModuleType(name)
-                shim.__spec__ = importlib.machinery.ModuleSpec(
-                    name, loader=None)
-                sys.modules[name] = shim
+        ensure_stub(name)
 
     mf = importlib.import_module("lxmert.lxmert.src.modeling_frcnn")
     vu = importlib.import_module("lxmert.lxmert.src.vqa_utils")

@@ -32,49 +32,12 @@ def _rgb2id(color):
 def _load_ref_postprocess():
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
-    import importlib.machinery
-
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.__version__ = "0.8.2"
-        ops = types.ModuleType("torchvision.ops")
-        bx = types.ModuleType("torchvision.ops.boxes")
-        bx.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-        ops.boxes = bx
-        misc = types.ModuleType("torchvision.ops.misc")
-        misc.interpolate = torch.nn.functional.interpolate
-        ops.misc = misc
-        tv.ops = ops
-        models = types.ModuleType("torchvision.models")
-        mutils = types.ModuleType("torchvision.models._utils")
-
-        class _ILG:  # never instantiated here
-            def __init__(self, *a, **k):
-                raise NotImplementedError
-
-        mutils.IntermediateLayerGetter = _ILG
-        models._utils = mutils
-        tv.models = models
-        for name, mod in (("torchvision", tv), ("torchvision.ops", ops),
-                          ("torchvision.ops.boxes", bx),
-                          ("torchvision.ops.misc", misc),
-                          ("torchvision.models", models),
-                          ("torchvision.models._utils", mutils)):
-            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
-            sys.modules[name] = mod
-    if "panopticapi" not in sys.modules:
-        papi = types.ModuleType("panopticapi")
-        putils = types.ModuleType("panopticapi.utils")
-        putils.id2rgb = _id2rgb
-        putils.rgb2id = _rgb2id
-        papi.utils = putils
-        for name, mod in (("panopticapi", papi),
-                          ("panopticapi.utils", putils)):
-            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
-            sys.modules[name] = mod
     import importlib
 
-    seg = importlib.import_module("DETR.models.segmentation")
+    from _shims import panopticapi_shim, torchvision_shim
+
+    with torchvision_shim(), panopticapi_shim():
+        seg = importlib.import_module("DETR.models.segmentation")
     # the module guards the panopticapi import with try/except; inject
     # the shims if the guard swallowed them before our stub existed
     if not hasattr(seg, "id2rgb"):
