@@ -155,22 +155,39 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray,
     score-descending output order; first-index tie-break).
     Returns (indices [max_out], keep_valid [max_out])."""
     s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
-    iou, _ = box_ops.box_iou(boxes, boxes)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
-    def body(i, carry):
-        s, idxs, ok = carry
+    def cond(carry):
+        i, s, idxs, ok, alive = carry
+        return (i < max_out) & alive
+
+    def body(carry):
+        i, s, idxs, ok, _ = carry
         j = jnp.argmax(s)
         good = s[j] > -jnp.inf
         idxs = idxs.at[i].set(j.astype(jnp.int32))
         ok = ok.at[i].set(good)
-        suppress = iou[j] > iou_thresh
-        s = jnp.where(suppress, -jnp.inf, s)
+        # IoU row against the winner, computed on the fly: an O(N) vector
+        # op per pick instead of a precomputed [N, N] matrix (144 MB at
+        # the 6k-proposal RPN stage, of which only max_out rows are read)
+        bj = boxes[j]
+        lt = jnp.maximum(boxes[:, :2], bj[:2])
+        rb = jnp.minimum(boxes[:, 2:], bj[2:])
+        wh = jnp.clip(rb - lt, 0)
+        inter = wh[:, 0] * wh[:, 1]
+        iou_row = inter / (areas + areas[j] - inter)
+        s = jnp.where(iou_row > iou_thresh, -jnp.inf, s)
         s = s.at[j].set(-jnp.inf)
-        return s, idxs, ok
+        return i + 1, s, idxs, ok, good
 
-    _, idxs, ok = jax.lax.fori_loop(
-        0, max_out, body,
-        (s, jnp.zeros((max_out,), jnp.int32), jnp.zeros((max_out,), bool)))
+    # while_loop (not fori): candidates can run out before max_out picks
+    # (masked `valid`, small feature maps) — stop instead of burning the
+    # remaining iterations on argmax-of-(-inf); outputs are identical
+    # (unwritten slots stay idx 0 / ok False).
+    _, _, idxs, ok, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), s, jnp.zeros((max_out,), jnp.int32),
+         jnp.zeros((max_out,), bool), jnp.bool_(True)))
     return idxs, ok
 
 

@@ -116,8 +116,12 @@ def init_params(key: jax.Array, stages: Tuple[int, ...] = RESNET50_STAGES,
         return {"weight": jnp.ones((n,), dtype), "bias": jnp.zeros((n,), dtype),
                 "mean": jnp.zeros((n,), dtype), "var": jnp.ones((n,), dtype)}
 
+    import itertools
+
+    # ResNet-101 needs 104 weight keys; recycle the 64 split keys (random
+    # init is only used for parity tests / benches, never real weights)
     keys = jax.random.split(key, 64)
-    ki = iter(range(64))
+    ki = itertools.count()
     params: Dict[str, Any] = {
         "conv1": {"w": he(keys[next(ki)], (7, 7, 3, width))},
         "bn1": bn(width),
