@@ -87,15 +87,32 @@ def test_compressed_rle_roundtrip():
     np.testing.assert_array_equal(flat, [0] * 5 + [1] * 3 + [0] * 4)
 
 
-def test_profiling_tools(caplog):
+def test_profiling_tools():
     import logging
 
     t = profiling.Timer()
     assert t.elapsed() >= 0
-    with caplog.at_level(logging.DEBUG, logger="tmmx"):
+    # attach our own handler: caplog relies on propagation to the root
+    # logger, but setup_logger() (run by any Trainer test earlier in
+    # the session) sets tmmx.propagate = False
+    records = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    lg = logging.getLogger("tmmx")
+    handler = _Capture(level=logging.DEBUG)
+    old_level = lg.level
+    lg.addHandler(handler)
+    lg.setLevel(logging.DEBUG)
+    try:
         with profiling.profile_section("unit"):
             pass
-    assert any("unit:" in r.message for r in caplog.records)
+    finally:
+        lg.removeHandler(handler)
+        lg.setLevel(old_level)
+    assert any("unit:" in r.getMessage() for r in records)
 
 
 def test_zoo_resolve_local(tmp_path):
