@@ -149,3 +149,86 @@ def test_trainer_memorizes_tiny_set():
     assert log["loss"][-1] < log["loss"][0]
     assert log["valid_acc"][-1] == 1.0
     assert trainer.best_valid == 1.0 and trainer.best_params is not None
+
+
+def test_nlvr2_trainer_memorizes_tiny_set():
+    """NLVR2 protocol (tasks/nlvr2.py + nlvr2_model.py): paired-image
+    pooled concat -> 2-way head; CE ignore_index=-1; tiny model
+    overfits 4 samples."""
+    from transformer_mm_explainability_tpu.models import lxmert as lx
+
+    cfg = lx.LxmertConfig(
+        vocab_size=30, hidden_size=32, num_attention_heads=4,
+        intermediate_size=48, max_position_embeddings=16,
+        l_layers=1, x_layers=1, r_layers=1, visual_feat_dim=8,
+        num_qa_labels=4)
+    ft = lxmert_tasks.FinetuneConfig(batch_size=4, epochs=15, lr=2e-3,
+                                     task="nlvr2")
+    rng = np.random.RandomState(2)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(1, 29, (4, 7))),
+        "attention_mask": jnp.asarray(np.ones((4, 7), np.int32)),
+        "visual_feats": jnp.asarray(
+            rng.randn(4, 2, 5, 8).astype(np.float32)),
+        "visual_pos": jnp.asarray(
+            rng.rand(4, 2, 5, 4).astype(np.float32)),
+        "visual_mask": jnp.asarray(np.ones((4, 2, 5), np.int32)),
+        "label": jnp.asarray([0, 1, 1, 0], jnp.int32),
+    }
+    trainer = lxmert_tasks.Nlvr2TaskTrainer(
+        ft, model_cfg=cfg, batches_per_epoch=1, seed=2)
+    log = trainer.fit(lambda: [batch], lambda: [batch],
+                      printer=lambda *a: None)
+    assert log["loss"][-1] < log["loss"][0]
+    assert log["valid_acc"][-1] == 1.0
+
+
+def test_nlvr2_loss_ignore_index():
+    """Padded samples (label -1) contribute nothing (CE ignore_index)."""
+    logits = jnp.asarray([[3.0, -3.0], [0.5, 0.2], [9.0, -9.0]])
+    labels = jnp.asarray([0, 1, -1])
+    full = lxmert_tasks.nlvr2_loss(logits, labels)
+    sub = lxmert_tasks.nlvr2_loss(logits[:2], labels[:2])
+    np.testing.assert_allclose(float(full), float(sub), rtol=1e-6)
+
+
+def test_nlvr2_batching_pairs_images(tmp_path):
+    """make_nlvr2_batches pairs img0/img1 per record and pads the tail
+    with label -1."""
+    from transformer_mm_explainability_tpu.data import vqa as vqa_data
+    from transformer_mm_explainability_tpu.data.tokenization import (
+        BertTokenizer)
+
+    records = [
+        {"uid": f"u{i}", "img0": f"im{i}a", "img1": f"im{i}b",
+         "sent": "two dogs", "label": i % 2} for i in range(3)]
+    import json
+    p = tmp_path / "train.json"
+    p.write_text(json.dumps(records))
+    ds = vqa_data.NLVR2Dataset([str(p)])
+    rng = np.random.RandomState(0)
+    items = []
+    for r in records:
+        for key in ("img0", "img1"):
+            items.append({"img_id": r[key], "num_boxes": 4,
+                          "features": rng.randn(4, 8).astype(np.float32),
+                          "boxes": rng.rand(4, 4).astype(np.float32) * 50,
+                          "img_h": 100, "img_w": 100})
+    feats = vqa_data.FeatureStore(items, max_boxes=6)
+    vocab = {w: i for i, w in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "two", "dogs"])}
+    tok = BertTokenizer(vocab=vocab)
+    ft = lxmert_tasks.FinetuneConfig(batch_size=4, task="nlvr2",
+                                     max_text_len=8)
+    batches = lxmert_tasks.make_nlvr2_batches(ds, feats, tok, ft,
+                                              max_boxes=6)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["visual_feats"].shape == (4, 2, 6, 8)
+    assert list(np.asarray(b["label"])) == [0, 1, 0, -1]  # tail padded
+    np.testing.assert_array_equal(
+        np.asarray(b["visual_feats"][0, 0, :4]),
+        feats["im0a"]["features"][:4])
+    np.testing.assert_array_equal(
+        np.asarray(b["visual_feats"][0, 1, :4]),
+        feats["im0b"]["features"][:4])

@@ -84,7 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="LXMERT task finetune loop "
                              "(lxmert/src/tasks/vqa.py + "
                              "run/vqa_finetune.bash surface)")
-    sp.add_argument("--task", choices=["vqa", "gqa"], default="vqa")
+    sp.add_argument("--task", choices=["vqa", "gqa", "nlvr2"],
+                    default="vqa")
     sp.add_argument("--train-questions", default=None)
     sp.add_argument("--valid-questions", default=None)
     sp.add_argument("--features", default=None, help="object TSV")
