@@ -183,3 +183,90 @@ def test_answer_vocab():
     assert scores.sum() == pytest.approx(1.3)
     assert scores[vocab.ans2label["yes"]] == 1.0
     assert vocab.answer(vocab.ans2label["yes"]) == "yes"
+
+
+def test_tsv_open_mt_matches_sequential(tmp_path):
+    """tsv_open_mt (parallel base64 decode, ordered merge) produces the
+    same store as tsv_open — records, order, topk semantics."""
+    p = tmp_path / "mt.tsv"
+    make_tsv(p, n_images=17, n_boxes=6, feat_dim=12, seed=4)
+    L = native.lib()
+    for topk in (None, 5):
+        h_seq = L.tsv_open(str(p).encode(), -1 if topk is None else topk)
+        h_mt = L.tsv_open_mt(str(p).encode(),
+                             -1 if topk is None else topk, 4)
+        assert L.tsv_count(h_seq) == L.tsv_count(h_mt)
+        assert L.tsv_feat_dim(h_seq) == L.tsv_feat_dim(h_mt)
+        import ctypes
+        for i in range(L.tsv_count(h_seq)):
+            rows = []
+            for h in (h_seq, h_mt):
+                img_id = ctypes.create_string_buffer(64)
+                ih, iw = ctypes.c_int(), ctypes.c_int()
+                boxes = np.zeros((8, 4), np.float32)
+                feats = np.zeros((8, 12), np.float32)
+                oid = np.zeros(8, np.int64)
+                oconf = np.zeros(8, np.float32)
+                n = L.tsv_get(
+                    h, i, img_id, 64, ctypes.byref(ih), ctypes.byref(iw),
+                    boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    oid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    oconf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    8)
+                rows.append((img_id.value, n, boxes, feats))
+            assert rows[0][0] == rows[1][0]
+            assert rows[0][1] == rows[1][1]
+            np.testing.assert_array_equal(rows[0][2], rows[1][2])
+            np.testing.assert_array_equal(rows[0][3], rows[1][3])
+        L.tsv_close(h_seq)
+        L.tsv_close(h_mt)
+
+
+def test_batch_loader_matches_manual_collation(tmp_path):
+    """BatchLoader batches == manual per-sample padding + LXMERT box
+    normalisation, in the supplied (shuffled) order, tail batch short."""
+    p = tmp_path / "load.tsv"
+    rows = make_tsv(p, n_images=11, n_boxes=5, feat_dim=12, seed=5)
+    store = native.TsvStore(str(p), n_threads=3)
+    assert store.count == 11 and store.feat_dim == 12
+
+    order = np.random.RandomState(0).permutation(11)
+    loader = native.BatchLoader(store, order, batch=4, max_boxes=7,
+                                depth=2, n_threads=2)
+    assert loader.num_batches == 3
+    got = list(loader)
+    assert [b["k"] for b in got] == [4, 4, 3]
+    flat = 0
+    for b in got:
+        for s in range(b["k"]):
+            _, boxes, feats, _, _ = rows[order[flat]]
+            n = boxes.shape[0]
+            assert b["num_boxes"][s] == n
+            np.testing.assert_array_equal(b["features"][s, :n], feats)
+            np.testing.assert_array_equal(b["features"][s, n:], 0)
+            want_boxes = boxes.copy()
+            want_boxes[:, (0, 2)] /= 640.0  # img_w
+            want_boxes[:, (1, 3)] /= 480.0  # img_h
+            np.testing.assert_allclose(b["boxes"][s, :n], want_boxes,
+                                       rtol=1e-6)
+            flat += 1
+    # exhausted: a fresh iter immediately stops
+    assert list(loader) == []
+    loader.close()
+    store.close()
+
+
+def test_batch_loader_unnormalized_and_errors(tmp_path):
+    p = tmp_path / "raw.tsv"
+    rows = make_tsv(p, n_images=3, n_boxes=4, feat_dim=8, seed=6)
+    store = native.TsvStore(str(p))
+    loader = native.BatchLoader(store, [0, 1, 2], batch=2, max_boxes=6,
+                                normalize=False)
+    b = next(iter(loader))
+    np.testing.assert_array_equal(b["boxes"][0, :4], rows[0][1])
+    loader.close()
+    # out-of-range order index is rejected up front
+    with pytest.raises(ValueError):
+        native.BatchLoader(store, [0, 99], batch=2)
+    store.close()

@@ -30,7 +30,7 @@ def build(force: bool = False) -> str:
     if force or not os.path.exists(_LIB_PATH) or any(
             os.path.getmtime(s) > os.path.getmtime(_LIB_PATH) for s in srcs):
         subprocess.check_call(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
              "-o", _LIB_PATH] + srcs)
     return _LIB_PATH
 
@@ -60,6 +60,21 @@ def lib() -> ctypes.CDLL:
             ctypes.c_int]
         _lib.tsv_get.restype = ctypes.c_int
         _lib.tsv_close.argtypes = [ctypes.c_int64]
+        _lib.tsv_open_mt.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                     ctypes.c_int]
+        _lib.tsv_open_mt.restype = ctypes.c_int64
+        _lib.loader_create.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        _lib.loader_create.restype = ctypes.c_int64
+        _lib.loader_next.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+        _lib.loader_next.restype = ctypes.c_int
+        _lib.loader_num_batches.argtypes = [ctypes.c_int64]
+        _lib.loader_num_batches.restype = ctypes.c_int64
+        _lib.loader_destroy.argtypes = [ctypes.c_int64]
     return _lib
 
 
@@ -174,3 +189,89 @@ class tsv:
             return out
         finally:
             L.tsv_close(h)
+
+
+# --------------------------------------------------------------------------
+# Prefetching batch loader (the torch-DataLoader-worker equivalent)
+# --------------------------------------------------------------------------
+
+class TsvStore:
+    """Keeps a native TSV store open (unlike ``tsv.load_obj_tsv``,
+    which copies everything into python dicts and closes). Parse is
+    multithreaded (``tsv_open_mt``)."""
+
+    def __init__(self, path: str, topk: Optional[int] = None,
+                 n_threads: int = 0):
+        if n_threads <= 0:
+            n_threads = min(os.cpu_count() or 2, 8)
+        L = lib()
+        self._L = L
+        self.handle = L.tsv_open_mt(
+            path.encode(), -1 if topk is None else topk, n_threads)
+        if self.handle < 0:
+            raise IOError(f"cannot open {path}")
+        self.count = L.tsv_count(self.handle)
+        self.feat_dim = L.tsv_feat_dim(self.handle)
+
+    def close(self):
+        if self.handle >= 0:
+            self._L.tsv_close(self.handle)
+            self.handle = -1
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class BatchLoader:
+    """Background-threaded batch assembly over an open ``TsvStore``:
+    model-ready padded ``{features [B, M, D], boxes [B, M, 4] (LXMERT-
+    normalised), num_boxes [B], valid k}`` batches prefetched depth-
+    deep so host assembly overlaps device compute."""
+
+    def __init__(self, store: TsvStore, order, batch: int,
+                 max_boxes: int = 36, depth: int = 3, n_threads: int = 2,
+                 normalize: bool = True):
+        self.store = store
+        self.batch = batch
+        self.max_boxes = max_boxes
+        order = np.ascontiguousarray(np.asarray(order, np.int64))
+        self.handle = lib().loader_create(
+            store.handle,
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(order), batch, max_boxes, depth, n_threads,
+            1 if normalize else 0)
+        if self.handle < 0:
+            raise ValueError("loader_create failed (bad store/order)")
+        self.num_batches = lib().loader_num_batches(self.handle)
+
+    def __iter__(self):
+        D = self.store.feat_dim
+        while True:
+            feats = np.empty((self.batch, self.max_boxes, D), np.float32)
+            boxes = np.empty((self.batch, self.max_boxes, 4), np.float32)
+            nbox = np.empty((self.batch,), np.int32)
+            k = lib().loader_next(
+                self.handle,
+                feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                nbox.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if k < 0:
+                raise RuntimeError("loader_next on a destroyed loader")
+            if k == 0:
+                return
+            yield {"features": feats, "boxes": boxes,
+                   "num_boxes": nbox, "k": int(k)}
+
+    def close(self):
+        if self.handle >= 0:
+            lib().loader_destroy(self.handle)
+            self.handle = -1
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
