@@ -341,3 +341,35 @@ def test_lmdb_reader_gated(tmp_path):
         pass
     with pytest.raises(ImportError, match="lmdb"):
         reader.read("anything_1.npy")
+
+
+def test_image_database(tmp_path):
+    from PIL import Image
+
+    arr = (np.arange(12 * 10 * 3) % 255).astype(np.uint8).reshape(12, 10, 3)
+    Image.fromarray(arr).save(tmp_path / "pic1.png")
+    rows = [{"image_name": "pic1.jpg"}]  # wrong extension on purpose
+    import json
+    (tmp_path / "a.jsonl").write_text(json.dumps(rows[0]))
+    adb = databases.AnnotationDatabase(str(tmp_path / "a.jsonl"))
+    idb = databases.ImageDatabase(str(tmp_path), annotation_db=adb)
+    out = idb[0]
+    # extension probing found the .png despite the .jpg name
+    np.testing.assert_array_equal(out["images"][0], arr)
+    # transform applies
+    idb.transform = lambda a: a.astype(np.float32) / 255.0
+    assert out["images"][0].dtype == np.uint8
+    assert idb[0]["images"][0].dtype == np.float32
+    with pytest.raises(RuntimeError, match="Image not found"):
+        idb.from_path("missing.jpg")
+
+
+def test_image_database_nlvr2_identifier(tmp_path):
+    from PIL import Image
+
+    for s in ("id7-img0", "id7-img1"):
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+            tmp_path / f"{s}.png")
+    idb = databases.ImageDatabase(str(tmp_path))
+    out = idb.get({"identifier": "id7", "left_url": "u", "right_url": "v"})
+    assert len(out["images"]) == 2

@@ -259,3 +259,89 @@ class FeaturesDatabase:
             return f"{image_path}.npy"
         return ".".join(str(image_path).split(".")[:-1] or
                         [str(image_path)]) + ".npy"
+
+
+# ---------------------------------------------------------------------------
+# ImageDatabase (image_database.py:32-205) — raw-pixel path for models
+# that don't consume precomputed region features
+# ---------------------------------------------------------------------------
+
+_IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm",
+                   ".tif", ".tiff", ".webp")
+
+_IMAGE_KEY_CANDIDATES = ["Flickr30kID", "Flikr30kID", "identifier",
+                         "image_path", "image_name", "img", "image_id"]
+
+
+def _possible_image_path(path: str) -> Optional[str]:
+    """get_possible_image_paths (:13-23): drop any extension, probe
+    the torchvision extension list."""
+    parts = path.split(".")
+    stem = ".".join(parts[:-1]) if len(parts) > 1 else path
+    for ext in _IMG_EXTENSIONS:
+        if os.path.isfile(stem + ext):
+            return stem + ext
+    return path if os.path.isfile(path) else None
+
+
+class ImageDatabase:
+    """Image loader keyed by annotation items. Returns HWC uint8 numpy
+    arrays (RGB) instead of PIL/tensor objects; ``transform`` is any
+    array→array callable (e.g. ops.image.clip_preprocess)."""
+
+    def __init__(self, path: str,
+                 annotation_db: Optional[AnnotationDatabase] = None,
+                 transform=None, image_key: Optional[str] = None):
+        self.base_path = path
+        self.annotation_db = annotation_db
+        self.transform = transform
+        self.image_key = image_key
+
+    def __len__(self) -> int:
+        assert self.annotation_db is not None, "no annotation db attached"
+        return len(self.annotation_db)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        assert self.annotation_db is not None, "no annotation db attached"
+        return self.get(self.annotation_db[idx])
+
+    def get(self, item: Dict[str, Any]) -> Dict[str, Any]:
+        return self.from_path(self._get_attrs(item))
+
+    def from_path(self, paths, use_transforms: bool = True
+                  ) -> Dict[str, Any]:
+        from PIL import Image
+
+        if isinstance(paths, str):
+            paths = [paths]
+        images = []
+        for name in paths:
+            full = os.path.join(self.base_path, str(name))
+            path = _possible_image_path(full)
+            if not path:
+                stem = ".".join(full.split(".")[:-1]) or full
+                raise RuntimeError(
+                    f"Image not found at path {stem}.{{jpeg|jpg|png}}.")
+            with open(path, "rb") as f:
+                arr = np.asarray(Image.open(f).convert("RGB"))
+            if self.transform is not None and use_transforms:
+                arr = self.transform(arr)
+            images.append(arr)
+        return {"images": images}
+
+    def _get_attrs(self, item: Dict[str, Any]) -> List[str]:
+        """image_database.py:166-193 incl. the NLVR2 identifier →
+        (img0, img1) expansion."""
+        if self.image_key:
+            image = item[self.image_key]
+            return [image] if isinstance(image, str) else list(image)
+        image, pick = None, None
+        for attr in _IMAGE_KEY_CANDIDATES:
+            image = item.get(attr)
+            if image is not None:
+                pick = attr
+                break
+        if pick == "identifier" and "left_url" in item and (
+                "right_url" in item):
+            return [image + "-img0", image + "-img1"]
+        return [str(image)]

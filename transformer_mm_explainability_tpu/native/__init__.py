@@ -156,7 +156,12 @@ class tsv:
     @staticmethod
     def load_obj_tsv(path: str, topk: Optional[int] = None):
         L = lib()
-        h = L.tsv_open(path.encode(), -1 if topk is None else topk)
+        # parallel parse when cores are available; tsv_open_mt(n<=1)
+        # falls back to the sequential parser (and a small topk over a
+        # huge file prefers the early-stopping sequential scan)
+        n_threads = 1 if topk is not None else min(os.cpu_count() or 1, 8)
+        h = L.tsv_open_mt(path.encode(), -1 if topk is None else topk,
+                          n_threads)
         if h < 0:
             raise IOError(f"cannot open {path}")
         try:
