@@ -1,0 +1,854 @@
+"""MMF model-zoo parity (C34): Pythia / LoRRA / BAN / BUTD / CNNLSTM
+blocks and full-model forwards vs the in-process torch reference
+modules (VisualBERT/mmf/modules/{layers,attention,embeddings}.py,
+mmf/models/{pythia,ban,butd,cnn_lstm}.py) with shared random weights.
+
+The reference model *classes* need omegaconf + the full MMF config
+cascade, which this image does not carry — so each test composes the
+reference nn.Modules exactly as the model forwards do (composition
+cited per test), which exercises the same math end-to-end.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE, requires_reference
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from transformer_mm_explainability_tpu.models import mmf_layers as L  # noqa: E402
+from transformer_mm_explainability_tpu.models import mmf_zoo as Z  # noqa: E402
+from transformer_mm_explainability_tpu.utils import convert_mmf as C  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# reference loader: a synthetic VisualBERT.mmf package with only the
+# leaves the zoo modules import (env/file_io/vocab/bottleneck stubbed)
+# ---------------------------------------------------------------------------
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+import importlib.machinery  # noqa: E402
+
+
+def _load_real(name, relpath):
+    spec = importlib.util.spec_from_file_location(
+        name, str(REFERENCE / "VisualBERT" / relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref(request):
+    """Load mmf.modules.{layers,attention,embeddings} + decoders with
+    their import chain satisfied; clean every injected module up."""
+    import torch  # noqa: F401
+    import transformers
+
+    added = []
+
+    def add(name, mod):
+        assert name not in sys.modules
+        sys.modules[name] = mod
+        added.append(name)
+
+    for pkg in ("VisualBERT", "VisualBERT.mmf", "VisualBERT.mmf.common",
+                "VisualBERT.mmf.modules", "VisualBERT.mmf.utils"):
+        add(pkg, _stub_module(pkg))
+
+    add("VisualBERT.mmf.utils.env",
+        _stub_module("VisualBERT.mmf.utils.env",
+                     setup_imports=lambda *a, **k: None))
+
+    class _PathManager:
+        @staticmethod
+        def open(*a, **k):
+            return open(*a, **k)
+
+    add("VisualBERT.mmf.utils.file_io",
+        _stub_module("VisualBERT.mmf.utils.file_io",
+                     PathManager=_PathManager))
+    add("VisualBERT.mmf.utils.vocab",
+        _stub_module("VisualBERT.mmf.utils.vocab", Vocab=object))
+    # utils.modeling is light (torch-only) — load it for real so
+    # MLPClassifer's lazy ACT2FN import resolves
+    _load_real("VisualBERT.mmf.utils.modeling", "mmf/utils/modeling.py")
+    added.append("VisualBERT.mmf.utils.modeling")
+    add("VisualBERT.mmf.modules.bottleneck",
+        _stub_module("VisualBERT.mmf.modules.bottleneck",
+                     MovieBottleneck=object))
+    # transformers>=4.31 dropped the top-level modeling_bert alias
+    if "transformers.modeling_bert" not in sys.modules:
+        from transformers.models.bert import modeling_bert
+        add("transformers.modeling_bert", modeling_bert)
+
+    try:
+        _load_real("VisualBERT.mmf.common.registry",
+                   "mmf/common/registry.py")
+        added.append("VisualBERT.mmf.common.registry")
+        mods = types.SimpleNamespace(
+            decoders=_load_real("VisualBERT.mmf.modules.decoders",
+                                "mmf/modules/decoders.py"),
+            layers=_load_real("VisualBERT.mmf.modules.layers",
+                              "mmf/modules/layers.py"),
+            attention=_load_real("VisualBERT.mmf.modules.attention",
+                                 "mmf/modules/attention.py"),
+            embeddings=_load_real("VisualBERT.mmf.modules.embeddings",
+                                  "mmf/modules/embeddings.py"),
+            registry=sys.modules["VisualBERT.mmf.common.registry"].registry,
+        )
+        added += ["VisualBERT.mmf.modules.decoders",
+                  "VisualBERT.mmf.modules.layers",
+                  "VisualBERT.mmf.modules.attention",
+                  "VisualBERT.mmf.modules.embeddings"]
+        yield mods
+    finally:
+        for name in added:
+            sys.modules.pop(name, None)
+
+
+def rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def assert_close(got, want, atol=2e-5):
+    np.testing.assert_allclose(np.asarray(got), want, atol=atol, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# block parity
+# ---------------------------------------------------------------------------
+
+@requires_reference
+def test_relu_weight_norm_fc(ref):
+    import torch
+    m = ref.layers.ReLUWithWeightNormFC(6, 4).eval()
+    x = rand(3, 6, seed=1)
+    want = m(torch.tensor(x)).detach().numpy()
+    got = L.relu_weight_norm_fc_fwd(C._relu_wn_fc(m.state_dict(), ""),
+                                    jnp.asarray(x))
+    assert_close(got, want)
+
+
+@requires_reference
+def test_attention_text_embedding(ref):
+    import torch
+    m = ref.embeddings.AttentionTextEmbedding(
+        hidden_dim=16, embedding_dim=8, num_layers=1, dropout=0.0,
+        conv1_out=6, conv2_out=2, kernel_size=1, padding=0).eval()
+    x = rand(4, 7, 8, seed=2)
+    want = m(torch.tensor(x)).detach().numpy()
+    got = L.attention_text_embedding_fwd(
+        C.attention_text_embedding_from_sd(m.state_dict()), jnp.asarray(x))
+    assert got.shape == (4, 32)
+    assert_close(got, want)
+
+
+@requires_reference
+def test_bilstm_text_embedding_forward_all_gru(ref):
+    import torch
+    m = ref.embeddings.BiLSTMTextEmbedding(
+        hidden_dim=10, embedding_dim=6, num_layers=1, dropout=0.0,
+        bidirectional=False, rnn_type="GRU").eval()
+    x = rand(3, 5, 6, seed=3)
+    want = m.forward_all(torch.tensor(x)).detach().numpy()
+    p = {"rnn": C._birnn(m.state_dict(), "recurrent_encoder", False)}
+    got = L.bilstm_text_embedding_forward_all(p, jnp.asarray(x), "GRU")
+    assert_close(got, want)
+
+
+@requires_reference
+def test_bilstm_text_embedding_forward_all_bilstm(ref):
+    import torch
+    m = ref.embeddings.BiLSTMTextEmbedding(
+        hidden_dim=10, embedding_dim=6, num_layers=1, dropout=0.0,
+        bidirectional=True, rnn_type="LSTM").eval()
+    x = rand(3, 5, 6, seed=4)
+    want = m.forward_all(torch.tensor(x)).detach().numpy()
+    p = {"rnn": C._birnn(m.state_dict(), "recurrent_encoder", True)}
+    got = L.bilstm_text_embedding_forward_all(p, jnp.asarray(x), "LSTM")
+    assert_close(got, want)
+
+
+@requires_reference
+@pytest.mark.parametrize("normalization", ["softmax", "sigmoid"])
+@pytest.mark.parametrize("with_locs", [False, True])
+def test_attention_layer_top_down(ref, normalization, with_locs):
+    """AttentionLayer == NonLinearElementMultiply combine → linear
+    transform → TopDownAttention normalize/mask (attention.py:11-163)."""
+    import torch
+    m = ref.attention.AttentionLayer(
+        12, 9, modal_combine={"type": "non_linear_element_multiply",
+                              "params": {"dropout": 0.0, "hidden_dim": 14}},
+        transform={"type": "linear", "params": {"out_dim": 1}},
+        normalization=normalization).eval()
+    feat = rand(3, 5, 12, seed=5)
+    q = rand(3, 9, seed=6)
+    locs = np.array([5, 2, 0], np.float32) if with_locs else None
+    want = m(torch.tensor(feat), torch.tensor(q),
+             None if locs is None else torch.tensor(locs)).detach().numpy()
+    sd = m.state_dict()
+    combined = L.non_linear_element_multiply_fwd(
+        C.nlem_from_sd(sd, "module.combination_layer.module"),
+        jnp.asarray(feat), jnp.asarray(q))
+    got = L.top_down_attention_fwd(
+        combined, C._wn(sd, "module.transform.module.lc"), normalization,
+        None if locs is None else jnp.asarray(locs))
+    assert_close(got, want)
+
+
+@requires_reference
+def test_image_feature_embedding_with_order_vectors(ref):
+    import torch
+    m = ref.embeddings.ImageFeatureEmbedding(
+        12, 9, modal_combine={"type": "non_linear_element_multiply",
+                              "params": {"dropout": 0.0, "hidden_dim": 14}},
+        transform={"type": "linear", "params": {"out_dim": 1}},
+        normalization="sigmoid").eval()
+    feat = rand(2, 5, 12, seed=7)
+    q = rand(2, 9, seed=8)
+    order = rand(2, 5, 4, seed=9)
+    extra = types.SimpleNamespace(order_vectors=torch.tensor(order))
+    want, want_att = m(torch.tensor(feat), torch.tensor(q), None, extra)
+    sd = m.state_dict()
+    combined = L.non_linear_element_multiply_fwd(
+        C.nlem_from_sd(sd, "image_attention_model.module"
+                           ".combination_layer.module"),
+        jnp.asarray(feat), jnp.asarray(q))
+    att = L.top_down_attention_fwd(
+        combined,
+        C._wn(sd, "image_attention_model.module.transform.module.lc"),
+        "sigmoid")
+    got, got_att = L.image_feature_embedding_fwd(
+        att, jnp.asarray(feat), order_vectors=jnp.asarray(order))
+    assert_close(got, want.detach().numpy())
+    assert_close(got_att, want_att.detach().numpy())
+
+
+@requires_reference
+def test_logit_classifier(ref):
+    import torch
+    m = ref.layers.ClassifierLayer("logit", in_dim=10, out_dim=7,
+                                   text_hidden_dim=5,
+                                   img_hidden_dim=8).eval()
+    x = rand(4, 10, seed=10)
+    want = m(torch.tensor(x)).detach().numpy()
+    got = L.logit_classifier_fwd(
+        C.logit_classifier_from_sd(m.state_dict(), "module"),
+        jnp.asarray(x))
+    assert_close(got, want)
+
+
+@requires_reference
+def test_weight_norm_classifier(ref):
+    import torch
+    m = ref.layers.WeightNormClassifier(10, 6, 12, 0.0).eval()
+    x = rand(3, 10, seed=11)
+    want = m(torch.tensor(x)).detach().numpy()
+    got = L.weight_norm_classifier_fwd(
+        C.weight_norm_classifier_from_sd(m.state_dict()), jnp.asarray(x))
+    assert_close(got, want)
+
+
+@requires_reference
+def test_two_layer_element_multiply(ref):
+    import torch
+    m = ref.layers.TwoLayerElementMultiply(8, 6, hidden_dim=10,
+                                           dropout=0.0).eval()
+    feat = rand(3, 4, 8, seed=12)
+    q = rand(3, 6, seed=13)
+    want = m(torch.tensor(feat), torch.tensor(q)).detach().numpy()
+    sd = m.state_dict()
+    p = {k: C._relu_wn_fc(sd, k)
+         for k in ("fa_image1", "fa_image2", "fa_txt1", "fa_txt2")}
+    got = L.two_layer_element_multiply_fwd(p, jnp.asarray(feat),
+                                           jnp.asarray(q))
+    assert_close(got, want)
+
+
+@requires_reference
+def test_mfh(ref):
+    """MFH's own __init__ appends a bound method to nn.ModuleList
+    (layers.py:302) which modern torch rejects — build the module via
+    __new__ with the reference's real forward/mfb_squeeze."""
+    import torch
+    torch.manual_seed(9)
+    m = ref.layers.MFH.__new__(ref.layers.MFH)
+    torch.nn.Module.__init__(m)
+    m.relu = torch.nn.ReLU()
+    m.order, m.pool_size, m.out_dim = 2, 4, 6
+    m.mfb_expand_list = torch.nn.ModuleList(
+        [ref.layers.MfbExpand(img_feat_dim=8, txt_emb_dim=6, hidden_dim=12,
+                              dropout=0.0) for _ in range(2)])
+    m.mfb_sqz_list = [m.mfb_squeeze, m.mfb_squeeze]
+    m = m.eval()
+    feat = rand(3, 8, seed=14)
+    q = rand(3, 6, seed=15)
+    want = m(torch.tensor(feat), torch.tensor(q)).detach().numpy()
+    sd = m.state_dict()
+    p = {"expand": [
+        {"lc_image": C._lin(sd, f"mfb_expand_list.{i}.lc_image"),
+         "lc_ques": C._lin(sd, f"mfb_expand_list.{i}.lc_ques")}
+        for i in range(2)]}
+    got = L.mfh_fwd(p, jnp.asarray(feat), jnp.asarray(q), pool_size=4)
+    assert_close(got, want)
+
+
+@requires_reference
+def test_bc_net_and_bi_attention(ref):
+    import torch
+    v = rand(2, 6, 8, seed=16)
+    q = rand(2, 5, 7, seed=17)
+    v[1, 4:] = 0.0  # exercise the v_mask −inf path
+    m = ref.layers.BiAttention(8, 7, 9, glimpse=3, dropout=[0.0, 0.0])
+    m.eval()
+    want_p, want_logits = m.forward_all(torch.tensor(v), torch.tensor(q))
+    p = C.bi_attention_from_sd(m.state_dict(), "", glimpse=3)
+    got_p, _ = L.bi_attention_forward_all(p, jnp.asarray(v), jnp.asarray(q))
+    assert_close(got_p, want_p.detach().numpy())
+
+
+@requires_reference
+def test_bc_net_forward_with_weights(ref):
+    import torch
+    m = ref.layers.BCNet(8, 7, 9, None, dropout=[0.0, 0.0], k=3).eval()
+    v = rand(2, 6, 8, seed=18)
+    q = rand(2, 5, 7, seed=19)
+    w = np.abs(rand(2, 6, 5, seed=20))
+    want = m.forward_with_weights(torch.tensor(v), torch.tensor(q),
+                                  torch.tensor(w)).detach().numpy()
+    p = C.bc_net_from_sd(m.state_dict(), "", k=3, h_out=None)
+    got = L.bc_net_forward_with_weights(p, jnp.asarray(v),
+                                        jnp.asarray(q), jnp.asarray(w),
+                                        k=3)
+    assert_close(got, want, atol=5e-5)
+
+
+@requires_reference
+def test_fc_net_relu(ref):
+    import torch
+    m = ref.layers.FCNet([6, 8, 4], act="ReLU", dropout=0.0).eval()
+    x = rand(3, 6, seed=21)
+    want = m(torch.tensor(x)).detach().numpy()
+    sd = {f"main.{k}": v for k, v in m.state_dict().items()
+          if False}  # placeholder; use full prefix form below
+    sd = {k: v for k, v in m.state_dict().items()}
+    p = C.fc_net_from_sd({f"x.{k}": v for k, v in sd.items()}, "x", "ReLU")
+    got = L.fc_net_fwd(p, jnp.asarray(x), act="ReLU")
+    assert_close(got, want)
+
+
+@requires_reference
+def test_top_down_attention_lstm_and_language_decoder(ref):
+    """One BUTD decode step vs the reference's registry-carried state
+    (layers.py:398-435 + decoders.py:55-86)."""
+    import torch
+    tda = ref.layers.TopDownAttentionLSTM(8, 5, hidden_dim=6,
+                                          attention_dim=7,
+                                          dropout=0.0).eval()
+    dec = ref.decoders.LanguageDecoder(8, 11, hidden_dim=6, dropout=0.0,
+                                       fc_bias_init=0.0).eval()
+    feat = rand(2, 4, 8, seed=22)
+    emb = rand(2, 5, seed=23)
+    h1, c1 = rand(2, 6, seed=24), rand(2, 6, seed=25)
+    h2, c2 = rand(2, 6, seed=26), rand(2, 6, seed=27)
+    state = {"td_hidden": (torch.tensor(h1), torch.tensor(c1)),
+             "lm_hidden": (torch.tensor(h2), torch.tensor(c2))}
+    dev = torch.tensor(feat).device
+    ref.registry.register(f"{dev}_lstm_state", state)
+    want_joint = tda(torch.tensor(feat), torch.tensor(emb))
+    # the reference TopDownAttention would attend here; feed the mean
+    weighted = want_joint.mean(1) @ torch.randn(7, 8, generator=torch.Generator().manual_seed(0))
+    want_logits = dec(weighted)
+
+    p_tda = C.top_down_attention_lstm_from_sd(tda.state_dict())
+    got_joint, got_h1, got_c1 = L.top_down_attention_lstm_fwd(
+        p_tda, jnp.asarray(feat), jnp.asarray(emb), jnp.asarray(h1),
+        jnp.asarray(c1), jnp.asarray(h2))
+    assert_close(got_joint, want_joint.detach().numpy())
+    assert_close(got_h1, state["td_hidden"][0].detach().numpy())
+    assert_close(got_c1, state["td_hidden"][1].detach().numpy())
+
+    p_dec = C.language_decoder_from_sd(dec.state_dict())
+    got_logits, got_h2, got_c2 = L.language_decoder_fwd(
+        p_dec, jnp.asarray(weighted.detach().numpy()), got_h1,
+        jnp.asarray(h2), jnp.asarray(c2))
+    assert_close(got_logits, want_logits.detach().numpy())
+    assert_close(got_h2, state["lm_hidden"][0].detach().numpy())
+
+
+@requires_reference
+def test_conv_net(ref):
+    import torch
+    m = ref.layers.ConvNet(3, 5, kernel_size=3).eval()
+    x = rand(2, 3, 8, 8, seed=28)
+    want = m(torch.tensor(x)).detach().numpy()
+    got = L.conv_net_fwd(C.conv_net_from_sd(m.state_dict(), ""),
+                         jnp.asarray(x))
+    assert_close(got, want, atol=1e-5)
+
+
+@requires_reference
+@pytest.mark.parametrize("kind", ["concat", "project", "double"])
+def test_classic_attentions(ref, kind):
+    import torch
+    feat = rand(3, 5, 8, seed=29)
+    q = rand(3, 6, seed=30)
+    if kind == "concat":
+        m = ref.attention.ConcatenationAttention(8, 6, 10).eval()
+        sd = m.state_dict()
+        p = {"fa": C.gated_tanh_from_sd(sd, "fa"), "lc": C._lin(sd, "lc")}
+        got = L.concatenation_attention_fwd(p, jnp.asarray(feat),
+                                            jnp.asarray(q))
+    elif kind == "project":
+        m = ref.attention.ProjectAttention(8, 6, 10, dropout=0.0).eval()
+        p = C.project_attention_from_sd(m.state_dict())
+        got = L.project_attention_fwd(p, jnp.asarray(feat), jnp.asarray(q))
+    else:
+        m = ref.attention.DoubleProjectAttention(8, 6, 10,
+                                                 dropout=0.0).eval()
+        sd = m.state_dict()
+        p = {"att1": C.project_attention_from_sd(sd, "att1"),
+             "att2": C.project_attention_from_sd(sd, "att2")}
+        got = L.double_project_attention_fwd(p, jnp.asarray(feat),
+                                             jnp.asarray(q))
+    want = m(torch.tensor(feat), torch.tensor(q)).detach().numpy()
+    assert_close(got, want)
+
+
+# ---------------------------------------------------------------------------
+# full-model parity: compose reference modules exactly as the model
+# forwards do
+# ---------------------------------------------------------------------------
+
+CFG = Z.PythiaConfig(vocab_size=30, num_answers=7, embedding_dim=8,
+                     text_hidden_dim=12, conv1_out=6, conv2_out=2,
+                     image_feature_dim=10, combine_hidden_dim=14,
+                     classifier_text_hidden=5, classifier_img_hidden=9)
+
+
+def _build_ref_pythia(ref, cfg, seed=0):
+    """The reference Pythia graph (pythia.py:39-46 build order) as
+    plain modules, producing the exact top-level state-dict keys."""
+    import torch
+    torch.manual_seed(seed)
+    n = len(cfg.image_encoders)
+    model = torch.nn.Module()
+    model.word_embedding = torch.nn.Embedding(cfg.vocab_size,
+                                              cfg.embedding_dim)
+    model.text_embeddings = torch.nn.ModuleList([
+        ref.embeddings.AttentionTextEmbedding(
+            hidden_dim=cfg.text_hidden_dim, embedding_dim=cfg.embedding_dim,
+            num_layers=1, dropout=0.0, conv1_out=cfg.conv1_out,
+            conv2_out=cfg.conv2_out, kernel_size=1, padding=0)])
+
+    class _Finetune(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lc = torch.nn.Linear(cfg.image_feature_dim,
+                                      cfg.image_feature_dim)
+
+        def forward(self, x):
+            return torch.nn.functional.relu(self.lc(x))
+
+    encs = []
+    for kind in cfg.image_encoders:
+        encs.append(_Finetune() if kind == "finetune"
+                    else torch.nn.Identity())
+    model.image_feature_encoders = torch.nn.ModuleList(encs)
+    model.image_feature_embeddings_list = torch.nn.ModuleList([
+        torch.nn.ModuleList([ref.embeddings.ImageFeatureEmbedding(
+            cfg.image_feature_dim, cfg.text_out_dim,
+            modal_combine={"type": "non_linear_element_multiply",
+                           "params": {"dropout": 0.0,
+                                      "hidden_dim": cfg.combine_hidden_dim}},
+            transform={"type": "linear", "params": {"out_dim": 1}},
+            normalization="softmax")])
+        for _ in range(n)])
+    model.image_text_multi_modal_combine_layer = \
+        ref.layers.ModalCombineLayer(
+            "non_linear_element_multiply", cfg.image_out_dim,
+            cfg.text_out_dim, dropout=0.0,
+            hidden_dim=cfg.combine_hidden_dim)
+    model.classifier = ref.layers.ClassifierLayer(
+        "logit", in_dim=cfg.combine_hidden_dim, out_dim=cfg.num_answers,
+        text_hidden_dim=cfg.classifier_text_hidden,
+        img_hidden_dim=cfg.classifier_img_hidden)
+    return model.eval()
+
+
+def _ref_pythia_forward(model, tokens, feats, locs=None):
+    """pythia.py:293-310 forward composition."""
+    import torch
+    text = model.word_embedding(torch.tensor(tokens))
+    text_total = torch.cat([emb(text) for emb in model.text_embeddings],
+                           dim=1)
+    embs = []
+    for i, feat in enumerate(feats):
+        encoded = model.image_feature_encoders[i](torch.tensor(feat))
+        loc = None if locs is None or locs[i] is None else \
+            torch.tensor(locs[i])
+        emb, _ = model.image_feature_embeddings_list[i][0](
+            encoded, text_total, loc)
+        embs.append(emb)
+    image_total = torch.cat(embs, dim=1)
+    joint = model.image_text_multi_modal_combine_layer(image_total,
+                                                       text_total)
+    return model.classifier(joint)
+
+
+@requires_reference
+def test_pythia_full_forward_parity(ref):
+    model = _build_ref_pythia(ref, CFG)
+    tokens = np.random.RandomState(31).randint(0, CFG.vocab_size, (3, 6))
+    feats = [rand(3, 5, 10, seed=32), rand(3, 4, 10, seed=33)]
+    locs = [np.array([5, 3, 1], np.float32), None]
+    want = _ref_pythia_forward(model, tokens, feats, locs).detach().numpy()
+    params = C.pythia_from_state_dict(model.state_dict(), CFG)
+    got = Z.pythia_forward(params, CFG, jnp.asarray(tokens),
+                           [jnp.asarray(f) for f in feats],
+                           [jnp.asarray(locs[0]), None])
+    assert_close(got, want, atol=5e-5)
+
+
+@requires_reference
+def test_pythia_format_state_key_applied(ref):
+    """pythia.py:31-37: the `.module.lc` alias form must convert too."""
+    model = _build_ref_pythia(ref, CFG, seed=1)
+    sd = {k.replace("image_feature_encoders.0.lc",
+                    "image_feature_encoders.0.module.lc"): v
+          for k, v in model.state_dict().items()}
+    params = C.pythia_from_state_dict(sd, CFG)
+    tokens = np.random.RandomState(34).randint(0, CFG.vocab_size, (2, 5))
+    feats = [rand(2, 4, 10, seed=35), rand(2, 4, 10, seed=36)]
+    want = _ref_pythia_forward(model, tokens, feats).detach().numpy()
+    got = Z.pythia_forward(params, CFG, jnp.asarray(tokens),
+                           [jnp.asarray(f) for f in feats])
+    assert_close(got, want, atol=5e-5)
+
+
+@requires_reference
+def test_pythia_question_and_image_only_variants(ref):
+    """pythia.py:314-365 ablation forwards."""
+    import torch
+    model = _build_ref_pythia(ref, CFG, seed=2)
+    tokens = np.random.RandomState(37).randint(0, CFG.vocab_size, (2, 5))
+    feats = [rand(2, 4, 10, seed=38), rand(2, 4, 10, seed=39)]
+    params = C.pythia_from_state_dict(model.state_dict(), CFG)
+
+    # question_only: zeroed text through fa_txt + text classifier branch
+    text = model.word_embedding(torch.tensor(tokens))
+    text_total = torch.cat([emb(text) for emb in model.text_embeddings], 1)
+    zeros = torch.zeros_like(text_total)
+    comb = model.image_text_multi_modal_combine_layer.module
+    joint = comb.fa_txt(zeros)
+    want_q = model.classifier.module.linear_text(
+        model.classifier.module.f_o_text(joint)).detach().numpy()
+    got_q = Z.pythia_question_only_forward(params, CFG, jnp.asarray(tokens))
+    assert_close(got_q, want_q, atol=5e-5)
+
+    # image_only: zeroed text into the feature attention + fa_image
+    embs = []
+    for i, feat in enumerate(feats):
+        encoded = model.image_feature_encoders[i](torch.tensor(feat))
+        emb, _ = model.image_feature_embeddings_list[i][0](encoded, zeros,
+                                                           None)
+        embs.append(emb)
+    joint_i = comb.fa_image(torch.cat(embs, 1))
+    want_i = model.classifier(joint_i).detach().numpy()
+    got_i = Z.pythia_image_only_forward(params, CFG, jnp.asarray(tokens),
+                                        [jnp.asarray(f) for f in feats])
+    assert_close(got_i, want_i, atol=5e-5)
+
+
+@requires_reference
+def test_lorra_full_forward_parity(ref):
+    """lorra.py:42-64: image + sigmoid-normalized context stream with
+    order vectors, context-augmented combine."""
+    import torch
+    cfg = Z.LorraConfig(vocab_size=30, num_answers=7, embedding_dim=8,
+                        text_hidden_dim=12, conv1_out=6, conv2_out=2,
+                        image_feature_dim=10, combine_hidden_dim=14,
+                        classifier_text_hidden=5, classifier_img_hidden=9,
+                        context_feature_dim=6, context_max_len=4,
+                        order_vector_dim=3)
+    model = _build_ref_pythia(ref, cfg, seed=3)
+    torch.manual_seed(7)
+    context_stream = ref.embeddings.ImageFeatureEmbedding(
+        cfg.context_feature_dim, cfg.text_out_dim,
+        modal_combine={"type": "non_linear_element_multiply",
+                       "params": {"dropout": 0.0,
+                                  "hidden_dim": cfg.combine_hidden_dim}},
+        transform={"type": "linear", "params": {"out_dim": 1}},
+        normalization="sigmoid").eval()
+    fa_context = ref.layers.ReLUWithWeightNormFC(
+        cfg.context_out_dim, cfg.combine_hidden_dim).eval()
+    # LoRRA classifier takes cat(image, context) → in_dim 2*hidden
+    classifier = ref.layers.ClassifierLayer(
+        "logit", in_dim=2 * cfg.combine_hidden_dim, out_dim=cfg.num_answers,
+        text_hidden_dim=cfg.classifier_text_hidden,
+        img_hidden_dim=cfg.classifier_img_hidden).eval()
+    model.classifier = classifier
+
+    tokens = np.random.RandomState(40).randint(0, cfg.vocab_size, (2, 5))
+    feats = [rand(2, 4, 10, seed=41), rand(2, 4, 10, seed=42)]
+    ctx = rand(2, 4, 6, seed=43)
+    order = rand(2, 4, 3, seed=44)
+
+    text = model.word_embedding(torch.tensor(tokens))
+    text_total = torch.cat([emb(text) for emb in model.text_embeddings], 1)
+    embs = []
+    for i, feat in enumerate(feats):
+        encoded = model.image_feature_encoders[i](torch.tensor(feat))
+        emb, _ = model.image_feature_embeddings_list[i][0](encoded,
+                                                           text_total, None)
+        embs.append(emb)
+    image_total = torch.cat(embs, 1)
+    extra = types.SimpleNamespace(order_vectors=torch.tensor(order))
+    context_total, _ = context_stream(torch.tensor(ctx), text_total, None,
+                                      extra)
+    comb = model.image_text_multi_modal_combine_layer.module
+    joint_img = comb.fa_image(image_total) * comb.fa_txt(text_total)
+    joint_ctx = fa_context(context_total) * comb.fa_txt(text_total)
+    joint = torch.cat([joint_img, joint_ctx], dim=1)
+    want = classifier(joint).detach().numpy()
+
+    params = C.pythia_from_state_dict(model.state_dict(), cfg)
+    sd_ctx = context_stream.state_dict()
+    params["context_stream"] = {
+        "combine": C.nlem_from_sd(
+            sd_ctx, "image_attention_model.module.combination_layer.module"),
+        "transform": C._wn(
+            sd_ctx, "image_attention_model.module.transform.module.lc"),
+    }
+    params["combine"]["fa_context"] = C._relu_wn_fc(fa_context.state_dict(),
+                                                    "")
+    got = Z.lorra_forward(params, cfg, jnp.asarray(tokens),
+                          [jnp.asarray(f) for f in feats],
+                          jnp.asarray(ctx), jnp.asarray(order))
+    assert_close(got, want, atol=5e-5)
+
+
+@requires_reference
+def test_ban_full_forward_parity(ref):
+    """ban.py:81-97 forward composition with shared weights."""
+    import torch
+    cfg = Z.BanConfig(vocab_size=25, num_answers=6, embedding_dim=8,
+                      num_hidden=10, visual_feat_dim=9, gamma=2, bc_k=1)
+    torch.manual_seed(4)
+    word = torch.nn.Embedding(cfg.vocab_size, cfg.embedding_dim)
+    q_emb = ref.embeddings.BiLSTMTextEmbedding(
+        cfg.num_hidden, cfg.embedding_dim, 1, 0.0, False, "GRU").eval()
+    v_att = ref.layers.BiAttention(cfg.visual_feat_dim, cfg.num_hidden,
+                                   cfg.num_hidden, cfg.gamma,
+                                   dropout=[0.0, 0.0]).eval()
+    b_net = torch.nn.ModuleList([
+        ref.layers.BCNet(cfg.visual_feat_dim, cfg.num_hidden,
+                         cfg.num_hidden, None, dropout=[0.0, 0.0],
+                         k=cfg.bc_k).eval()
+        for _ in range(cfg.gamma)])
+    q_prj = torch.nn.ModuleList([
+        ref.layers.FCNet([cfg.num_hidden, cfg.num_hidden], act=None,
+                         dropout=0.0).eval()
+        for _ in range(cfg.gamma)])
+    classifier = ref.layers.WeightNormClassifier(
+        cfg.num_hidden, cfg.num_answers, cfg.num_hidden * 2, 0.0).eval()
+
+    tokens = np.random.RandomState(45).randint(0, cfg.vocab_size, (2, 5))
+    v = rand(2, 6, 9, seed=46)
+    v[1, 4:] = 0.0
+
+    q = word(torch.tensor(tokens))
+    q_e = q_emb.forward_all(q)
+    att, _ = v_att.forward_all(torch.tensor(v), q_e)
+    for g in range(cfg.gamma):
+        b = b_net[g].forward_with_weights(torch.tensor(v), q_e,
+                                          att[:, g, :, :])
+        q_e = q_prj[g](b.unsqueeze(1)) + q_e
+    want = classifier(q_e.sum(1)).detach().numpy()
+
+    sd = {}
+    for name, mod in (("word_embedding", word), ("q_emb", q_emb),
+                      ("v_att", v_att), ("b_net", b_net),
+                      ("q_prj", q_prj), ("classifier", classifier)):
+        for k, p in mod.state_dict().items():
+            sd[f"{name}.{k}"] = p
+    params = C.ban_from_state_dict(sd, cfg)
+    got = Z.ban_forward(params, cfg, jnp.asarray(tokens), jnp.asarray(v))
+    assert_close(got, want, atol=5e-5)
+
+
+@requires_reference
+def test_butd_teacher_forcing_parity(ref):
+    """butd.py:118-163 teacher-forcing loop vs the scan (the registry
+    LSTM-state side channel made an explicit carry)."""
+    import torch
+    cfg = Z.ButdConfig(vocab_size=20, embedding_dim=6,
+                       image_feature_dim=8, hidden_dim=7, attention_dim=9,
+                       max_length=4)
+    torch.manual_seed(5)
+    word = torch.nn.Embedding(cfg.vocab_size, cfg.embedding_dim)
+    enc_lc = torch.nn.Linear(cfg.image_feature_dim, cfg.image_feature_dim)
+    tda = ref.layers.TopDownAttentionLSTM(
+        cfg.image_feature_dim, cfg.embedding_dim, hidden_dim=cfg.hidden_dim,
+        attention_dim=cfg.attention_dim, dropout=0.0).eval()
+    transform = torch.nn.utils.weight_norm(
+        torch.nn.Linear(cfg.attention_dim, 1), dim=None)  # LinearTransform
+    dec = ref.decoders.LanguageDecoder(
+        cfg.image_feature_dim, cfg.vocab_size, hidden_dim=cfg.hidden_dim,
+        dropout=0.0, fc_bias_init=0.0).eval()
+
+    feat_raw = rand(2, 3, 8, seed=47)
+    tokens = np.random.RandomState(48).randint(0, cfg.vocab_size, (2, 4))
+
+    feat = torch.nn.functional.relu(enc_lc(torch.tensor(feat_raw)))
+    B, H = 2, cfg.hidden_dim
+    state = {"td_hidden": (torch.zeros(B, H), torch.zeros(B, H)),
+             "lm_hidden": (torch.zeros(B, H), torch.zeros(B, H))}
+    dev = feat.device
+    want_scores = []
+    for t in range(tokens.shape[1]):
+        ref.registry.register(f"{dev}_lstm_state", state)
+        emb = word(torch.tensor(tokens[:, t]))
+        joint = tda(feat, emb)
+        att = torch.softmax(transform(joint), dim=1)
+        attended = (att * feat).sum(1)
+        want_scores.append(dec(attended))
+    want = torch.stack(want_scores, 1).detach().numpy()
+
+    sd = {"word_embedding.weight": word.weight,
+          "image_feature_encoders.0.lc.weight": enc_lc.weight,
+          "image_feature_encoders.0.lc.bias": enc_lc.bias}
+    base = "image_feature_embeddings_list.0.0.image_attention_model.module"
+    for k, p in tda.state_dict().items():
+        sd[f"{base}.combination_layer.module.{k}"] = p
+    for k, p in transform.state_dict().items():
+        sd[f"{base}.transform.module.lc.{k}"] = p
+    for k, p in dec.state_dict().items():
+        sd[f"classifier.module.{k}"] = p
+    params = C.butd_from_state_dict(sd, cfg)
+    got = Z.butd_forward(params, cfg, jnp.asarray(feat_raw),
+                         teacher_tokens=jnp.asarray(tokens))
+    assert_close(got, want, atol=5e-5)
+
+
+def test_butd_greedy_runs():
+    """Greedy decode is self-consistent: argmax chain, static shapes."""
+    cfg = Z.ButdConfig(vocab_size=15, embedding_dim=5,
+                       image_feature_dim=6, hidden_dim=4, attention_dim=5,
+                       max_length=3)
+    params = Z.init_butd(jax.random.PRNGKey(0), cfg)
+    feat = jnp.asarray(rand(2, 3, 6, seed=49))
+    scores = Z.butd_forward(params, cfg, feat)
+    assert scores.shape == (2, 3, 15)
+    # replaying the argmax tokens under teacher forcing gives the same
+    # scores (the greedy scan fed its own argmax)
+    toks = jnp.argmax(scores, -1)
+    sos = jnp.full((2, 1), cfg.sos_index, jnp.int32)
+    replay = Z.butd_forward(params, cfg, feat,
+                            teacher_tokens=jnp.concatenate(
+                                [sos, toks[:, :-1]], axis=1))
+    np.testing.assert_allclose(np.asarray(replay), np.asarray(scores),
+                               atol=1e-6)
+
+
+@requires_reference
+def test_cnn_lstm_full_forward_parity(ref):
+    """cnn_lstm.py:82-102 forward composition."""
+    import torch
+    cfg = Z.CnnLstmConfig(vocab_size=12, num_answers=3, embedding_dim=5,
+                          lstm_hidden=4, cnn_input_dims=(3, 6),
+                          cnn_output_dims=(6, 4), cnn_kernel_sizes=(3, 3),
+                          classifier_in_dim=2 * 4 + 4 * 2 * 2)
+    torch.manual_seed(6)
+    word = torch.nn.Embedding(cfg.vocab_size, cfg.embedding_dim)
+    lstm = torch.nn.LSTM(input_size=5, hidden_size=4, bidirectional=True,
+                         batch_first=True).eval()
+    convs = torch.nn.ModuleList([
+        ref.layers.ConvNet(3, 6, kernel_size=3).eval(),
+        ref.layers.ConvNet(6, 4, kernel_size=3).eval()])
+    classifier = ref.layers.ClassifierLayer(
+        "mlp", in_dim=cfg.classifier_in_dim, out_dim=cfg.num_answers).eval()
+
+    tokens = np.random.RandomState(50).randint(0, cfg.vocab_size, (2, 6))
+    image = rand(2, 3, 8, 8, seed=51)
+
+    _, hidden = lstm(word(torch.tensor(tokens)))
+    h = hidden[0].transpose(0, 1)
+    h = torch.cat([h[:, 0, :], h[:, 1, :]], dim=-1)
+    x = torch.tensor(image)
+    for conv in convs:
+        x = conv(x)
+    x = x.view(x.size(0), -1)
+    want = classifier(torch.cat([h, x], -1)).detach().numpy()
+
+    sd = {}
+    for name, mod in (("text_embedding", word), ("lstm", lstm),
+                      ("cnn", convs), ("classifier", classifier)):
+        for k, p in mod.state_dict().items():
+            sd[f"{name}.{k}"] = p
+    params = C.cnn_lstm_from_state_dict(sd, cfg)
+    got = Z.cnn_lstm_forward(params, cfg, jnp.asarray(tokens),
+                             jnp.asarray(image))
+    assert_close(got, want, atol=5e-5)
+
+
+@requires_reference
+def test_tdbu_full_forward_parity(ref):
+    """top_down_bottom_up.py:32-61 forward composition."""
+    import torch
+    cfg = Z.TdbuConfig(vocab_size=18, num_answers=5, embedding_dim=6,
+                       text_hidden_dim=8, conv1_out=5, conv2_out=2,
+                       image_feature_dim=7, attention_hidden=9,
+                       joint_dim=10, classifier_hidden=12)
+    torch.manual_seed(8)
+    word = torch.nn.Embedding(cfg.vocab_size, cfg.embedding_dim)
+    text_emb = ref.embeddings.AttentionTextEmbedding(
+        hidden_dim=cfg.text_hidden_dim, embedding_dim=cfg.embedding_dim,
+        num_layers=1, dropout=0.0, conv1_out=cfg.conv1_out,
+        conv2_out=cfg.conv2_out, kernel_size=1, padding=0).eval()
+    img_att = ref.attention.ProjectAttention(
+        cfg.image_feature_dim, cfg.text_out_dim, cfg.attention_hidden,
+        dropout=0.0).eval()
+    nl_text = ref.layers.ReLUWithWeightNormFC(cfg.text_out_dim,
+                                              cfg.joint_dim).eval()
+    nl_image = ref.layers.ReLUWithWeightNormFC(cfg.image_feature_dim,
+                                               cfg.joint_dim).eval()
+    classifier = ref.layers.WeightNormClassifier(
+        cfg.joint_dim, cfg.num_answers, cfg.classifier_hidden, 0.0).eval()
+
+    tokens = np.random.RandomState(52).randint(0, cfg.vocab_size, (3, 5))
+    feat = rand(3, 4, 7, seed=53)
+
+    text = torch.cat([text_emb(word(torch.tensor(tokens)))], dim=1)
+    att = img_att(torch.tensor(feat), text)
+    image = (att * torch.tensor(feat)).sum(1)
+    want = classifier(nl_text(text) * nl_image(image)).detach().numpy()
+
+    params = {
+        "word_embedding": jnp.asarray(word.weight.detach().numpy()),
+        "text_embedding": C.attention_text_embedding_from_sd(
+            text_emb.state_dict()),
+        "image_attention": C.project_attention_from_sd(
+            img_att.state_dict()),
+        "non_linear_text": C._relu_wn_fc(nl_text.state_dict(), ""),
+        "non_linear_image": C._relu_wn_fc(nl_image.state_dict(), ""),
+        "classifier": C.weight_norm_classifier_from_sd(
+            classifier.state_dict()),
+    }
+    got = Z.tdbu_forward(params, cfg, jnp.asarray(tokens),
+                         jnp.asarray(feat))
+    assert_close(got, want, atol=5e-5)

@@ -28,6 +28,9 @@ from transformer_mm_explainability_tpu.models import (
     detr,
     frcnn,
     lxmert,
+    m4c,
+    mmbt,
+    mmf_zoo,
     visual_bert,
     vit,
 )
@@ -40,6 +43,17 @@ _MODELS = {
     "lxmert": lxmert,
     "detr": detr,
     "frcnn": frcnn,
+    # the MMF model zoo (C34): registered under the reference's
+    # registry names (pythia.py:19, lorra.py:7, ban.py:10, butd.py:9,
+    # cnn_lstm.py:20, top_down_bottom_up.py:9)
+    "pythia": mmf_zoo,
+    "lorra": mmf_zoo,
+    "ban": mmf_zoo,
+    "butd": mmf_zoo,
+    "cnn_lstm": mmf_zoo,
+    "top_down_bottom_up": mmf_zoo,
+    "m4c": m4c,
+    "mmbt": mmbt,
 }
 _EXPLAINERS = {
     "vit": explain_vit,
