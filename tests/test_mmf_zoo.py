@@ -9,6 +9,7 @@ reference nn.Modules exactly as the model forwards do (composition
 cited per test), which exercises the same math end-to-end.
 """
 
+import dataclasses
 import importlib.util
 import sys
 import types
@@ -852,3 +853,143 @@ def test_tdbu_full_forward_parity(ref):
     got = Z.tdbu_forward(params, cfg, jnp.asarray(tokens),
                          jnp.asarray(feat))
     assert_close(got, want, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# fusion + unimodal baselines (fusions.py / unimodal.py)
+# ---------------------------------------------------------------------------
+
+from transformer_mm_explainability_tpu.models import fusions as F  # noqa: E402
+from transformer_mm_explainability_tpu.utils.convert import (  # noqa: E402
+    bert_embeddings_from_state_dict, bert_encoder_from_state_dict)
+
+
+FCFG = F.FusionConfig(vocab_size=40, text_hidden_size=32,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      modal_hidden_size=10, num_features=3, num_labels=4)
+
+
+def _bert_text_params(bert):
+    sd = bert.state_dict()
+    return {
+        "embeddings": bert_embeddings_from_state_dict(sd, "embeddings"),
+        "encoder": bert_encoder_from_state_dict(sd, 2, "encoder.layer"),
+        "pooler": {"w": jnp.asarray(
+                       sd["pooler.dense.weight"].detach().numpy()),
+                   "b": jnp.asarray(
+                       sd["pooler.dense.bias"].detach().numpy())},
+    }
+
+
+@requires_reference
+def test_concat_bert_parity(ref):
+    """ConcatBERT (fusions.py:57-113): BERT pooled + flattened modal
+    features → concat → MLP classifier."""
+    import torch
+    from transformers import BertConfig, BertModel
+
+    torch.manual_seed(10)
+    bert = BertModel(BertConfig(
+        vocab_size=FCFG.vocab_size, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)).eval()
+    classifier = ref.layers.ClassifierLayer(
+        "mlp", in_dim=32 + 30, out_dim=FCFG.num_labels).eval()
+
+    rs = np.random.RandomState(100)
+    text = rs.randint(0, FCFG.vocab_size, (2, 6))
+    mask = np.array([[1] * 6, [1, 1, 1, 1, 0, 0]], np.int64)
+    seg = np.zeros((2, 6), np.int64)
+    modal = rand(2, 3, 10, seed=101)
+
+    out = bert(torch.tensor(text), attention_mask=torch.tensor(mask),
+               token_type_ids=torch.tensor(seg))
+    t = out.pooler_output
+    m = torch.flatten(torch.tensor(modal), start_dim=1)
+    want = classifier(torch.cat([t, m], -1)).detach().numpy()
+
+    params = {"text": _bert_text_params(bert),
+              "classifier": C.mlp_classifier_from_sd(
+                  classifier.state_dict(), "module")}
+    got = F.concat_forward(params, FCFG, jnp.asarray(text),
+                           jnp.asarray(modal), jnp.asarray(mask),
+                           jnp.asarray(seg))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_concat_bow_parity(ref):
+    """ConcatBoW (fusions.py:116-148): vocab embedding + sum operator
+    (TextEmbeddingEncoder, encoders.py:266-295)."""
+    import torch
+    torch.manual_seed(11)
+    word = torch.nn.Embedding(FCFG.vocab_size, 32)
+    classifier = ref.layers.ClassifierLayer(
+        "mlp", in_dim=32 + 30, out_dim=FCFG.num_labels).eval()
+    rs = np.random.RandomState(102)
+    text = rs.randint(0, FCFG.vocab_size, (2, 5))
+    modal = rand(2, 3, 10, seed=103)
+
+    t = word(torch.tensor(text)).sum(dim=1)
+    m = torch.flatten(torch.tensor(modal), start_dim=1)
+    want = classifier(torch.cat([t, m], -1)).detach().numpy()
+
+    cfg = dataclasses.replace(FCFG, text_encoder="embedding")
+    params = {"text": {"word": jnp.asarray(word.weight.detach().numpy())},
+              "classifier": C.mlp_classifier_from_sd(
+                  classifier.state_dict(), "module")}
+    got = F.concat_forward(params, cfg, jnp.asarray(text),
+                           jnp.asarray(modal))
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4)
+
+
+@requires_reference
+def test_late_fusion_and_unimodal(ref):
+    """LateFusion average (fusions.py:177-194) + UnimodalModal mean-pool
+    (unimodal.py:94-106)."""
+    import torch
+    from transformers import BertConfig, BertModel
+
+    torch.manual_seed(12)
+    bert = BertModel(BertConfig(
+        vocab_size=FCFG.vocab_size, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)).eval()
+    text_cls = ref.layers.ClassifierLayer(
+        "mlp", in_dim=32, out_dim=FCFG.num_labels).eval()
+    modal_cls = ref.layers.ClassifierLayer(
+        "mlp", in_dim=30, out_dim=FCFG.num_labels).eval()
+
+    rs = np.random.RandomState(104)
+    text = rs.randint(0, FCFG.vocab_size, (2, 6))
+    mask = np.ones((2, 6), np.int64)
+    seg = np.zeros((2, 6), np.int64)
+    modal = rand(2, 3, 10, seed=105)
+
+    out = bert(torch.tensor(text), attention_mask=torch.tensor(mask),
+               token_type_ids=torch.tensor(seg))
+    t = text_cls(out.pooler_output)
+    m = modal_cls(torch.flatten(torch.tensor(modal), start_dim=1))
+    want = ((t + m) / 2).detach().numpy()
+
+    params = {"text": _bert_text_params(bert),
+              "text_classifier": C.mlp_classifier_from_sd(
+                  text_cls.state_dict(), "module"),
+              "modal_classifier": C.mlp_classifier_from_sd(
+                  modal_cls.state_dict(), "module")}
+    got = F.late_fusion_forward(params, FCFG, jnp.asarray(text),
+                                jnp.asarray(modal), jnp.asarray(mask),
+                                jnp.asarray(seg))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+    # unimodal_image: mean over the box axis then classify
+    uni_cls = ref.layers.ClassifierLayer(
+        "mlp", in_dim=10, out_dim=FCFG.num_labels).eval()
+    want_u = uni_cls(torch.tensor(modal).mean(dim=1)).detach().numpy()
+    cfg_u = dataclasses.replace(FCFG, num_features=1)
+    got_u = F.unimodal_image_forward(
+        {"classifier": C.mlp_classifier_from_sd(uni_cls.state_dict(),
+                                                "module")},
+        cfg_u, jnp.asarray(modal))
+    np.testing.assert_allclose(np.asarray(got_u), want_u, atol=5e-5,
+                               rtol=1e-4)

@@ -27,9 +27,11 @@ from transformer_mm_explainability_tpu.models import (
     clip,
     detr,
     frcnn,
+    fusions,
     lxmert,
     m4c,
     mmbt,
+    mmf_transformer,
     mmf_zoo,
     visual_bert,
     vit,
@@ -54,6 +56,12 @@ _MODELS = {
     "top_down_bottom_up": mmf_zoo,
     "m4c": m4c,
     "mmbt": mmbt,
+    "concat_bert": fusions,
+    "concat_bow": fusions,
+    "late_fusion": fusions,
+    "unimodal_text": fusions,
+    "unimodal_image": fusions,
+    "mmf_transformer": mmf_transformer,
 }
 _EXPLAINERS = {
     "vit": explain_vit,
