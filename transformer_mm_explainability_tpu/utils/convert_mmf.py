@@ -374,6 +374,100 @@ def mmbt_from_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
     return params
 
 
+def vilbert_from_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """ViLBERT layout (vilbert.py ViLBERTBase:982-1118 + optional
+    classifier/cls heads).  Accepts MMF full-model prefixes
+    (``model.bert.*``)."""
+    from transformer_mm_explainability_tpu.utils.convert import (
+        bert_embeddings_from_state_dict)
+
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    has_bert_prefix = any(k.startswith("bert.") for k in sd)
+    if has_bert_prefix:
+        sd = {(k.removeprefix("bert.") if k.startswith("bert.") else k): v
+              for k, v in sd.items()}
+
+    def block(p):
+        out = {
+            "q": _lin(sd, f"{p}.attention.self.query"),
+            "k": _lin(sd, f"{p}.attention.self.key"),
+            "v": _lin(sd, f"{p}.attention.self.value"),
+            "out": _lin(sd, f"{p}.attention.output.dense"),
+            "out_ln": _ln(sd, f"{p}.attention.output.LayerNorm"),
+            "inter": _lin(sd, f"{p}.intermediate.dense"),
+            "ffn_out": _lin(sd, f"{p}.output.dense"),
+            "ffn_ln": _ln(sd, f"{p}.output.LayerNorm"),
+        }
+        if f"{p}.attention.self.dyLinear_q.weight" in sd:
+            out["dy_q"] = _lin(sd, f"{p}.attention.self.dyLinear_q")
+            out["dy_k"] = _lin(sd, f"{p}.attention.self.dyLinear_k")
+        return out
+
+    def c_block(p):
+        return {
+            "q1": _lin(sd, f"{p}.biattention.query1"),
+            "k1": _lin(sd, f"{p}.biattention.key1"),
+            "v1": _lin(sd, f"{p}.biattention.value1"),
+            "q2": _lin(sd, f"{p}.biattention.query2"),
+            "k2": _lin(sd, f"{p}.biattention.key2"),
+            "v2": _lin(sd, f"{p}.biattention.value2"),
+            "dense1": _lin(sd, f"{p}.biOutput.dense1"),
+            "ln1": _ln(sd, f"{p}.biOutput.LayerNorm1"),
+            "dense2": _lin(sd, f"{p}.biOutput.dense2"),
+            "ln2": _ln(sd, f"{p}.biOutput.LayerNorm2"),
+            "v_inter": _lin(sd, f"{p}.v_intermediate.dense"),
+            "v_out": _lin(sd, f"{p}.v_output.dense"),
+            "v_ln": _ln(sd, f"{p}.v_output.LayerNorm"),
+            "t_inter": _lin(sd, f"{p}.t_intermediate.dense"),
+            "t_out": _lin(sd, f"{p}.t_output.dense"),
+            "t_ln": _ln(sd, f"{p}.t_output.LayerNorm"),
+        }
+
+    params: Dict[str, Any] = {
+        "embeddings": bert_embeddings_from_state_dict(sd, "embeddings"),
+        "v_embeddings": {
+            "image": _lin(sd, "v_embeddings.image_embeddings"),
+            "loc": _lin(sd, "v_embeddings.image_location_embeddings"),
+            "ln": _ln(sd, "v_embeddings.LayerNorm"),
+        },
+        "t_layers": [block(f"encoder.layer.{i}")
+                     for i in range(cfg.num_hidden_layers)],
+        "v_layers": [block(f"encoder.v_layer.{i}")
+                     for i in range(cfg.v_num_hidden_layers)],
+        "c_layers": [c_block(f"encoder.c_layer.{i}")
+                     for i in range(len(cfg.v_biattention_id))],
+        "t_pooler": _lin(sd, "t_pooler.dense"),
+        "v_pooler": _lin(sd, "v_pooler.dense"),
+    }
+    if "classifier.0.dense.weight" in sd:
+        params["classifier"] = {
+            "transform": {
+                "w": jnp.asarray(_np(sd["classifier.0.dense.weight"])),
+                "b": jnp.asarray(_np(sd["classifier.0.dense.bias"])),
+                "ln": _ln(sd, "classifier.0.LayerNorm")},
+            "out": _lin(sd, "classifier.1"),
+        }
+    if "cls.predictions.transform.dense.weight" in sd:
+        params["cls"] = {
+            "lm_transform": {
+                "w": jnp.asarray(
+                    _np(sd["cls.predictions.transform.dense.weight"])),
+                "b": jnp.asarray(
+                    _np(sd["cls.predictions.transform.dense.bias"])),
+                "ln": _ln(sd, "cls.predictions.transform.LayerNorm")},
+            "lm_bias": jnp.asarray(_np(sd["cls.predictions.bias"])),
+            "bi_seq_relationship": _lin(sd, "cls.bi_seq_relationship"),
+            "img_transform": {
+                "w": jnp.asarray(
+                    _np(sd["cls.imagePredictions.transform.dense.weight"])),
+                "b": jnp.asarray(
+                    _np(sd["cls.imagePredictions.transform.dense.bias"])),
+                "ln": _ln(sd, "cls.imagePredictions.transform.LayerNorm")},
+            "img_decoder": _lin(sd, "cls.imagePredictions.decoder"),
+        }
+    return params
+
+
 def cnn_lstm_from_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
     n = len(cfg.cnn_input_dims)
     return {

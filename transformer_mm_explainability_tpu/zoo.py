@@ -33,6 +33,7 @@ from transformer_mm_explainability_tpu.models import (
     mmbt,
     mmf_transformer,
     mmf_zoo,
+    vilbert,
     visual_bert,
     vit,
 )
@@ -62,6 +63,7 @@ _MODELS = {
     "unimodal_text": fusions,
     "unimodal_image": fusions,
     "mmf_transformer": mmf_transformer,
+    "vilbert": vilbert,
 }
 _EXPLAINERS = {
     "vit": explain_vit,
