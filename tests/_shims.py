@@ -137,6 +137,38 @@ def _make(name):
     return mod
 
 
+class TvFrozenBatchNorm2d(torch.nn.Module):
+    """torchvision.ops.misc.FrozenBatchNorm2d: BN with fixed affine +
+    running statistics (documented eps 1e-5)."""
+
+    def __init__(self, num_features, eps=1e-5):
+        super().__init__()
+        self.eps = eps
+        self.register_buffer("weight", torch.ones(num_features))
+        self.register_buffer("bias", torch.zeros(num_features))
+        self.register_buffer("running_mean", torch.zeros(num_features))
+        self.register_buffer("running_var", torch.ones(num_features))
+
+    def forward(self, x):
+        w = self.weight.reshape(1, -1, 1, 1)
+        b = self.bias.reshape(1, -1, 1, 1)
+        rv = self.running_var.reshape(1, -1, 1, 1)
+        rm = self.running_mean.reshape(1, -1, 1, 1)
+        scale = w * (rv + self.eps).rsqrt()
+        return x * scale + (b - rm * scale)
+
+
+def tv_conv1x1(in_planes, out_planes, stride=1):
+    return torch.nn.Conv2d(in_planes, out_planes, kernel_size=1,
+                           stride=stride, bias=False)
+
+
+def tv_conv3x3(in_planes, out_planes, stride=1, groups=1, dilation=1):
+    return torch.nn.Conv2d(in_planes, out_planes, kernel_size=3,
+                           stride=stride, padding=dilation, groups=groups,
+                           bias=False, dilation=dilation)
+
+
 def _build_torchvision():
     tv = _make("torchvision")
     ops = _make("torchvision.ops")
@@ -144,6 +176,11 @@ def _build_torchvision():
     misc = _make("torchvision.ops.misc")
     models = _make("torchvision.models")
     mutils = _make("torchvision.models._utils")
+    mresnet = _make("torchvision.models.resnet")
+    mresnet.conv1x1 = tv_conv1x1
+    mresnet.conv3x3 = tv_conv3x3
+    models.resnet = mresnet
+    misc.FrozenBatchNorm2d = TvFrozenBatchNorm2d
 
     boxes.box_area = _box_area
     boxes.nms = tv_nms
@@ -161,7 +198,8 @@ def _build_torchvision():
     tv.ops = ops
     tv.models = models
     tv.__version__ = "0.8.2"
-    return {m.__name__: m for m in (tv, ops, boxes, misc, models, mutils)}
+    return {m.__name__: m
+            for m in (tv, ops, boxes, misc, models, mutils, mresnet)}
 
 
 def _purge(root):

@@ -88,9 +88,14 @@ def ref(request):
     # MLPClassifer's lazy ACT2FN import resolves
     _load_real("VisualBERT.mmf.utils.modeling", "mmf/utils/modeling.py")
     added.append("VisualBERT.mmf.utils.modeling")
-    add("VisualBERT.mmf.modules.bottleneck",
-        _stub_module("VisualBERT.mmf.modules.bottleneck",
-                     MovieBottleneck=object))
+    # bottleneck.py needs torchvision's conv1x1/conv3x3/FrozenBatchNorm
+    # — load it for real under the canonical shim (it binds the symbols
+    # at import time, so removing the shim afterwards is safe)
+    from _shims import torchvision_shim
+    with torchvision_shim():
+        _load_real("VisualBERT.mmf.modules.bottleneck",
+                   "mmf/modules/bottleneck.py")
+    added.append("VisualBERT.mmf.modules.bottleneck")
     # transformers>=4.31 dropped the top-level modeling_bert alias
     if "transformers.modeling_bert" not in sys.modules:
         from transformers.models.bert import modeling_bert
@@ -109,6 +114,7 @@ def ref(request):
                                  "mmf/modules/attention.py"),
             embeddings=_load_real("VisualBERT.mmf.modules.embeddings",
                                   "mmf/modules/embeddings.py"),
+            bottleneck=sys.modules["VisualBERT.mmf.modules.bottleneck"],
             registry=sys.modules["VisualBERT.mmf.common.registry"].registry,
         )
         added += ["VisualBERT.mmf.modules.decoders",
@@ -993,3 +999,455 @@ def test_late_fusion_and_unimodal(ref):
         cfg_u, jnp.asarray(modal))
     np.testing.assert_allclose(np.asarray(got_u), want_u, atol=5e-5,
                                rtol=1e-4)
+
+
+@requires_reference
+def test_visdial_discriminator_parity(ref):
+    """VisDialDiscriminator (decoders.py:8-52) scoring with a shared
+    pooled text embedding of the answer options."""
+    import torch
+    torch.manual_seed(13)
+
+    class _PoolEmb(torch.nn.Module):
+        text_out_dim = 6
+
+        def __init__(self):
+            super().__init__()
+            self.table = torch.nn.Embedding(12, 6)
+
+        def forward(self, ids):
+            return self.table(ids).mean(dim=1)
+
+    emb = _PoolEmb()
+    cfg = types.SimpleNamespace(hidden_dim=9)
+    m = ref.decoders.VisDialDiscriminator({"hidden_dim": 9}.__class__(
+        hidden_dim=9) if False else _DictAttr(hidden_dim=9), emb).eval()
+    B, D, O, S = 1, 2, 5, 3
+    rs = np.random.RandomState(130)
+    options = rs.randint(0, 12, (B, D, O, S))
+    options_len = np.full((B, D, O), S)
+    enc = rand(B * D, 9, seed=131)
+    batch = {"answer_options": torch.tensor(options),
+             "answer_options_len": torch.tensor(options_len)}
+    want = m(torch.tensor(enc), batch).detach().numpy()
+
+    # our side: caller embeds options with the shared text embedding
+    opt_emb = emb(torch.tensor(options.reshape(-1, S))).detach().numpy()
+    p = {"projection": {
+        "w": jnp.asarray(m.projection_layer.weight.detach().numpy()),
+        "b": jnp.asarray(m.projection_layer.bias.detach().numpy())}}
+    got = L.visdial_discriminator_fwd(
+        p, jnp.asarray(opt_emb.reshape(B * D, O, 6)), jnp.asarray(enc))
+    assert_close(got, want, atol=5e-5)
+
+
+class _DictAttr(dict):
+    __getattr__ = dict.__getitem__
+
+
+def test_m4c_captioner_unk_masking():
+    """M4CCaptioner (m4c_captioner.py:6-23): <unk> score forced to
+    -1e10 so greedy decode never emits it."""
+    from transformer_mm_explainability_tpu.models import m4c as jm4c
+    cfg = jm4c.M4CConfig(vocab_size=20, num_fixed_answers=6,
+                         hidden_size=16, num_heads=2, text_bert_layers=1,
+                         mmt_layers=1, obj_in_dim=8, ocr_fc7_dim=8,
+                         ocr_in_dim=4 + 6 + 8 + 2)
+    params = jm4c.init_m4c(jax.random.PRNGKey(3), cfg)
+    rs = np.random.RandomState(132)
+    args = (jnp.asarray(rs.randint(0, 20, (2, 5))),
+            jnp.asarray(np.full(2, 5)),
+            jnp.asarray(rand(2, 3, 8, seed=133)),
+            jnp.asarray(rand(2, 3, 4, seed=134)),
+            jnp.asarray(np.full(2, 3)),
+            jnp.asarray(rand(2, 4, 4, seed=135)),
+            jnp.asarray(rand(2, 4, 6, seed=136)),
+            jnp.asarray(rand(2, 4, 8, seed=137)),
+            jnp.asarray(rand(2, 4, 2, seed=138)),
+            jnp.asarray(rand(2, 4, 4, seed=139)),
+            jnp.asarray(np.full(2, 4)))
+    unk = 2
+    scores = jm4c.m4c_forward(params, cfg, *args, dec_steps=3,
+                              remove_unk_idx=unk)
+    assert np.all(np.asarray(scores[..., unk]) == -1e10)
+    toks = np.asarray(jnp.argmax(scores, -1))
+    assert not np.any(toks == unk)
+
+
+# ---------------------------------------------------------------------------
+# MMFBert (mmf_bert.py:19-407)
+# ---------------------------------------------------------------------------
+
+from transformer_mm_explainability_tpu.models import mmf_bert as MB  # noqa: E402
+from transformer_mm_explainability_tpu.utils.convert import (  # noqa: E402
+    _mha_from_in_proj, bert_embeddings_from_state_dict)
+
+
+@requires_reference
+@pytest.mark.parametrize("head", ["vqa2", "nlvr2", "pretraining"])
+def test_mmf_bert_forward_parity(ref, head):
+    """mmf_bert.py:285-407: BERT embeddings → text self-MHA → image
+    cross-MHA → NonLinearElementMultiply combine → head dispatch."""
+    import torch
+    from transformers import BertConfig
+    from transformers.models.bert.modeling_bert import (
+        BertEmbeddings, BertPooler, BertPredictionHeadTransform,
+        BertPreTrainingHeads)
+
+    D, A, IMG = 32, 7, 12
+    cfg = MB.MMFBertConfig(
+        vocab_size=40, hidden_size=D, num_attention_heads=4,
+        max_position_embeddings=24, image_feature_dim=IMG,
+        combine_hidden_dim=D, training_head_type=head,
+        answer_space_size=A)
+    bert_cfg = BertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=D, num_attention_heads=4,
+        max_position_embeddings=24, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(40)
+    word_embedding = BertEmbeddings(bert_cfg).eval()
+    text_attn = torch.nn.MultiheadAttention(D, 4, dropout=0.0).eval()
+    proj = ref.embeddings.ProjectionEmbedding("linear", IMG, D).eval()
+    img_attn = torch.nn.MultiheadAttention(D, 4, dropout=0.0).eval()
+    combine = ref.layers.ModalCombineLayer(
+        "non_linear_element_multiply", D, D, dropout=0.0,
+        hidden_dim=D).eval()
+    pooler = BertPooler(bert_cfg).eval()
+    classifier = torch.nn.Sequential(
+        BertPredictionHeadTransform(bert_cfg),
+        torch.nn.Linear(D, A)).eval()
+    cls = BertPreTrainingHeads(bert_cfg).eval()
+    cls.predictions.decoder.weight = word_embedding.word_embeddings.weight
+
+    rs = np.random.RandomState(140)
+    B, T, K = 2, 6, 4
+    input_ids = rs.randint(0, cfg.vocab_size, (B, T))
+    input_mask = np.array([[1] * T, [1, 1, 1, 1, 0, 0]], np.int64)
+    segment_ids = np.zeros((B, T), np.int64)
+    feat = rand(B, K, IMG, seed=141)
+
+    # reference composition (mmf_bert.py:285-337)
+    text = word_embedding(torch.tensor(input_ids),
+                          torch.tensor(segment_ids))
+    t = text.transpose(0, 1)
+    tt, _ = text_attn(t, t, t,
+                      key_padding_mask=torch.tensor(input_mask) == 0)
+    text_total = tt.transpose(0, 1)
+    enc = proj(torch.tensor(feat)).transpose(0, 1)
+    out, _ = img_attn(text_total.transpose(0, 1), enc, enc)
+    image_total = out.transpose(0, 1)
+    joint = combine(image_total, text_total)
+    pooled = pooler(joint)
+    if head == "vqa2":
+        idx = torch.tensor(input_mask).sum(1) - 2
+        gathered = torch.gather(
+            joint, 1, idx.unsqueeze(-1).unsqueeze(-1).expand(B, 1, D))
+        want = classifier(gathered).view(-1, A).detach().numpy()
+    elif head == "nlvr2":
+        want = classifier(pooled).detach().numpy()
+    else:
+        w_t, w_rel = cls(joint, pooled)
+        want = (w_t.detach().numpy(), w_rel.detach().numpy())
+
+    params = {
+        "embeddings": bert_embeddings_from_state_dict(
+            {f"e.{k}": v for k, v in word_embedding.state_dict().items()},
+            "e"),
+        "text_attention": _mha_from_in_proj(
+            {f"a.{k}": v for k, v in text_attn.state_dict().items()}, "a"),
+        "image_projection": {
+            "w": jnp.asarray(proj.layers.weight.detach().numpy()),
+            "b": jnp.asarray(proj.layers.bias.detach().numpy())},
+        "image_attentions": [_mha_from_in_proj(
+            {f"a.{k}": v for k, v in img_attn.state_dict().items()}, "a")],
+        "combine": C.nlem_from_sd(combine.state_dict(), "module"),
+        "pooler": {
+            "w": jnp.asarray(pooler.dense.weight.detach().numpy()),
+            "b": jnp.asarray(pooler.dense.bias.detach().numpy())},
+        "classifier": {
+            "transform": {
+                "w": jnp.asarray(
+                    classifier[0].dense.weight.detach().numpy()),
+                "b": jnp.asarray(classifier[0].dense.bias.detach().numpy()),
+                "ln": {"scale": jnp.asarray(
+                           classifier[0].LayerNorm.weight.detach().numpy()),
+                       "bias": jnp.asarray(
+                           classifier[0].LayerNorm.bias.detach().numpy())}},
+            "out": {"w": jnp.asarray(classifier[1].weight.detach().numpy()),
+                    "b": jnp.asarray(classifier[1].bias.detach().numpy())},
+        },
+        "cls": {
+            "transform": {
+                "w": jnp.asarray(cls.predictions.transform.dense.weight
+                                 .detach().numpy()),
+                "b": jnp.asarray(cls.predictions.transform.dense.bias
+                                 .detach().numpy()),
+                "ln": {"scale": jnp.asarray(
+                           cls.predictions.transform.LayerNorm.weight
+                           .detach().numpy()),
+                       "bias": jnp.asarray(
+                           cls.predictions.transform.LayerNorm.bias
+                           .detach().numpy())}},
+            "decoder_bias": jnp.asarray(
+                cls.predictions.bias.detach().numpy()),
+            "seq_relationship": {
+                "w": jnp.asarray(
+                    cls.seq_relationship.weight.detach().numpy()),
+                "b": jnp.asarray(
+                    cls.seq_relationship.bias.detach().numpy())},
+        },
+    }
+    got = MB.mmf_bert_forward(params, cfg, jnp.asarray(input_ids),
+                              jnp.asarray(input_mask),
+                              jnp.asarray(segment_ids),
+                              [jnp.asarray(feat)])
+    if head == "pretraining":
+        np.testing.assert_allclose(np.asarray(got[0]), want[0],
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(got[1]), want[1],
+                                   atol=2e-4, rtol=1e-3)
+    else:
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4,
+                                   rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# MoVie+MCAN (movie_mcan.py:21-274)
+# ---------------------------------------------------------------------------
+
+from transformer_mm_explainability_tpu.models import movie_mcan as MM  # noqa: E402
+
+
+MCFG = MM.MovieMcanConfig(vocab_size=25, num_answers=6, embedding_dim=8,
+                          hidden_dim=16, num_attn=4, num_layers=2,
+                          cbn_num_layers=2, image_feature_dim=12,
+                          num_feat=2, cbn_out_dim=16)
+
+
+def _mcan_mha_params(m):
+    return {"linears": [
+        {"w": jnp.asarray(lin.weight.detach().numpy()),
+         "b": jnp.asarray(lin.bias.detach().numpy())}
+        for lin in m.linears]}
+
+
+def _ln_params(ln):
+    return {"scale": jnp.asarray(ln.weight.detach().numpy()),
+            "bias": jnp.asarray(ln.bias.detach().numpy())}
+
+
+def _lin_params(lin):
+    return {"w": jnp.asarray(lin.weight.detach().numpy()),
+            "b": jnp.asarray(lin.bias.detach().numpy())}
+
+
+def _self_attn_params(m):
+    return {"mha": _mcan_mha_params(m.multi_head_attn),
+            "ffn": {"fc1": _lin_params(m.fcn[0]),
+                    "fc2": _lin_params(m.fcn[3])},
+            "ln_mha": _ln_params(m.ln_mha), "ln_fcn": _ln_params(m.ln_fcn)}
+
+
+def _sga_params(m):
+    return {"mha0": _mcan_mha_params(m.multi_head_attn[0]),
+            "mha1": _mcan_mha_params(m.multi_head_attn[1]),
+            "ffn": {"fc1": _lin_params(m.fcn[0]),
+                    "fc2": _lin_params(m.fcn[3])},
+            "ln0": _ln_params(m.ln_mha[0]), "ln1": _ln_params(m.ln_mha[1]),
+            "ln_fcn": _ln_params(m.ln_fcn)}
+
+
+def _attn_pool_params(m):
+    return {"fc1": _lin_params(m.linear[0]), "fc2": _lin_params(m.linear[3])}
+
+
+@requires_reference
+def test_mcan_self_attention_parity(ref):
+    import torch
+    torch.manual_seed(50)
+    m = ref.attention.SelfAttention(16, 4, dropout=0.0).eval()
+    m.multi_head_attn.dropout.p = 0.0
+    x = rand(2, 5, 16, seed=150)
+    mask = np.array([[False] * 5, [False, False, True, True, True]])
+    want = m(torch.tensor(x), torch.tensor(mask)).detach().numpy()
+    got = MM.self_attention_fwd(_self_attn_params(m), jnp.asarray(x),
+                                jnp.asarray(mask), 4)
+    assert_close(got, want, atol=5e-5)
+
+
+@requires_reference
+def test_mcan_self_guided_attention_parity(ref):
+    import torch
+    torch.manual_seed(51)
+    m = ref.attention.SelfGuidedAttention(16, 4, dropout=0.0).eval()
+    for mha in m.multi_head_attn:
+        mha.dropout.p = 0.0
+    x = rand(2, 4, 16, seed=151)
+    y = rand(2, 5, 16, seed=152)
+    y_mask = np.array([[False] * 5, [False, False, False, True, True]])
+    want = m(torch.tensor(x), torch.tensor(y), None,
+             torch.tensor(y_mask)).detach().numpy()
+    got = MM.self_guided_attention_fwd(_sga_params(m), jnp.asarray(x),
+                                       jnp.asarray(y), None,
+                                       jnp.asarray(y_mask), 4)
+    assert_close(got, want, atol=5e-5)
+
+
+@requires_reference
+def test_attn_pool_1d_parity(ref):
+    import torch
+    torch.manual_seed(52)
+    m = ref.layers.AttnPool1d(16, 2, dropout=0.0).eval()
+    x = rand(2, 5, 16, seed=153)
+    mask = np.array([[False] * 5, [False, False, True, True, True]])
+    want = m(torch.tensor(x), torch.tensor(x),
+             torch.tensor(mask)).detach().numpy()
+    got = MM.attn_pool_1d_fwd(_attn_pool_params(m), jnp.asarray(x),
+                              jnp.asarray(x), jnp.asarray(mask))
+    assert_close(got, want, atol=5e-5)
+
+
+@requires_reference
+@pytest.mark.parametrize("compressed", [True, False])
+def test_movie_bottleneck_and_cbn_parity(ref, compressed):
+    """MovieBottleneck (bottleneck.py:71-164) + CBNEmbedding
+    (embeddings.py:542-599) on NCHW grid features."""
+    import torch
+    torch.manual_seed(53)
+    cbn_ref = ref.embeddings.CBNEmbedding(
+        MCFG.image_feature_dim, cond_dim=MCFG.hidden_dim,
+        cbn_num_layers=2, compressed=True, use_se=True).eval()
+    # the reference hard-codes out_dim 1024; shrink for the test
+    # by rebuilding with small planes via monkey config is impractical,
+    # so drive the bottleneck directly instead:
+    # compressed=True hard-codes a 256-wide Modulation
+    # (bottleneck.py:59-61), so the bottleneck width must be 256
+    planes = 256 if compressed else 4
+    out_c = planes * 4
+    bn = ref.bottleneck.MovieBottleneck(
+        MCFG.image_feature_dim, planes, MCFG.hidden_dim,
+        downsample=torch.nn.Conv2d(MCFG.image_feature_dim, out_c, 1,
+                                   bias=False),
+        compressed=compressed, use_se=True).eval()
+    bn.init_layers()
+    x = rand(2, MCFG.image_feature_dim, 3, 3, seed=154)
+    cond = rand(2, MCFG.hidden_dim, seed=155)
+    want, _ = bn(torch.tensor(x.copy()), torch.tensor(cond))
+    want = want.detach().numpy()
+
+    sd = bn.state_dict()
+
+    def bnp(prefix):
+        return {"scale": jnp.asarray(sd[f"{prefix}.weight"].numpy()),
+                "bias": jnp.asarray(sd[f"{prefix}.bias"].numpy()),
+                "mean": jnp.asarray(sd[f"{prefix}.running_mean"].numpy()),
+                "var": jnp.asarray(sd[f"{prefix}.running_var"].numpy())}
+
+    p = {
+        "conv1": jnp.asarray(sd["conv1.weight"].numpy()),
+        "bn1": bnp("bn1"),
+        "conv2": jnp.asarray(sd["conv2.weight"].numpy()),
+        "bn2": bnp("bn2"),
+        "conv3": jnp.asarray(sd["conv3.weight"].numpy()),
+        "bn3": bnp("bn3"),
+        "downsample": jnp.asarray(sd["downsample.weight"].numpy()),
+        "cond": {"linear": {"w": jnp.asarray(sd["cond.linear.weight"].numpy()),
+                            "b": jnp.asarray(sd["cond.linear.bias"].numpy())},
+                 "conv": jnp.asarray(sd["cond.conv.weight"].numpy()),
+                 "conv_b": jnp.asarray(sd["cond.conv.bias"].numpy())},
+        "se": {"conv1": jnp.asarray(sd["se.se.1.weight"].numpy()),
+               "conv2": jnp.asarray(sd["se.se.3.weight"].numpy()),
+               "attn_conv": jnp.asarray(sd["se.attn.1.weight"].numpy())},
+    }
+    got = MM.movie_bottleneck_fwd(p, jnp.asarray(x), jnp.asarray(cond),
+                                  compressed=compressed)
+    assert_close(got, want, atol=5e-5)
+    assert cbn_ref.out_dim == 1024  # documented reference constant
+
+
+@requires_reference
+def test_sa_and_sga_embedding_parity(ref):
+    """SAEmbedding (embeddings.py:460-501) + SGAEmbedding (503-540)."""
+    import torch
+    torch.manual_seed(54)
+    sa = ref.embeddings.SAEmbedding(
+        16, 8, num_attn=4, num_layers=2, dropout=0.0, num_attn_pool=1,
+        num_feat=2).eval()
+    for blk in sa.self_attns:
+        blk.multi_head_attn.dropout.p = 0.0
+    sga = ref.embeddings.SGAEmbedding(
+        12, num_attn=4, num_layers=2, dropout=0.0, hidden_dim=16).eval()
+    for blk in sga.self_guided_attns:
+        for mha in blk.multi_head_attn:
+            mha.dropout.p = 0.0
+
+    x = rand(2, 5, 8, seed=156)
+    mask = torch.tensor(
+        np.array([[False] * 5, [False, False, True, True, True]]))
+    want_out, want_vec = sa(torch.tensor(x), mask)
+    grid = rand(2, 12, 2, 3, seed=157)
+    want_sga = sga(torch.tensor(grid), want_out, None,
+                   mask).detach().numpy()
+
+    sa_p = {"lstm": C._rnn(sa.state_dict(), "lstm"),
+            "blocks": [_self_attn_params(b) for b in sa.self_attns],
+            "attn_pool": _attn_pool_params(sa.attn_pool)}
+    got_out, got_vec = MM.sa_embedding_fwd(sa_p, jnp.asarray(x),
+                                           jnp.asarray(mask.numpy()), MCFG)
+    assert_close(got_out, want_out.detach().numpy(), atol=5e-5)
+    assert_close(got_vec, want_vec.detach().numpy(), atol=5e-5)
+
+    sga_p = {"linear": _lin_params(sga.linear),
+             "blocks": [_sga_params(b) for b in sga.self_guided_attns]}
+    got_sga = MM.sga_embedding_fwd(sga_p, jnp.asarray(grid), got_out,
+                                   jnp.asarray(mask.numpy()), MCFG)
+    assert_close(got_sga, want_sga, atol=5e-5)
+
+
+@requires_reference
+def test_branch_combine_and_triple_linear_parity(ref):
+    import torch
+    torch.manual_seed(55)
+    m = ref.layers.BranchCombineLayer(16, 16).eval()
+    tl = ref.layers.TripleLinear(32, 6).eval()
+    v_cga = rand(2, 16, seed=158)
+    v_cbn = rand(2, 16, seed=159)
+    q = rand(2, 16, seed=160)
+    want_eval = tl(m(torch.tensor(v_cga), torch.tensor(v_cbn),
+                     torch.tensor(q))).detach().numpy()
+    m.train(); tl.train()
+    want_train = tl(m(torch.tensor(v_cga), torch.tensor(v_cbn),
+                      torch.tensor(q))).detach().numpy()
+
+    p = {"linear_cga": [_lin_params(x) for x in m.linear_cga],
+         "linear_cbn": [_lin_params(x) for x in m.linear_cbn],
+         "linear_ques": [_lin_params(x) for x in m.linear_ques],
+         "ln": [_ln_params(x) for x in m.layer_norm]}
+    cls = [_lin_params(x) for x in tl.linears]
+
+    joint = MM.branch_combine_fwd(p, jnp.asarray(v_cga),
+                                  jnp.asarray(v_cbn), jnp.asarray(q),
+                                  1e-5, training=False)
+    got_eval = L.linear_fwd(cls[0], joint)
+    assert_close(got_eval, want_eval, atol=5e-5)
+
+    joint3 = MM.branch_combine_fwd(p, jnp.asarray(v_cga),
+                                   jnp.asarray(v_cbn), jnp.asarray(q),
+                                   1e-5, training=True)
+    got_train = jnp.stack([L.linear_fwd(cls[i], joint3[:, i])
+                           for i in range(3)], axis=1)
+    assert_close(got_train, want_train, atol=5e-5)
+
+
+def test_movie_mcan_full_forward_runs():
+    """End-to-end MoVieMcan forward on tiny dims (eval + train paths)."""
+    params = MM.init_movie_mcan(jax.random.PRNGKey(5), MCFG)
+    rs = np.random.RandomState(161)
+    toks = jnp.asarray(rs.randint(0, MCFG.vocab_size, (2, 5)))
+    toks = toks.at[1, 3:].set(0)  # padding → text_mask
+    grid = jnp.asarray(rand(2, MCFG.image_feature_dim, 2, 3, seed=162))
+    out = MM.movie_mcan_forward(params, MCFG, toks, grid)
+    assert out.shape == (2, MCFG.num_answers)
+    out3 = MM.movie_mcan_forward(params, MCFG, toks, grid, training=True)
+    assert out3.shape == (2, 3, MCFG.num_answers)
+    assert np.isfinite(np.asarray(out)).all()

@@ -223,8 +223,13 @@ def ocr_ptr_net_fwd(params: Params, cfg: M4CConfig, query_inputs,
 
 
 def _scores(params: Params, cfg: M4CConfig, inputs: Params,
-            prev_inds: jnp.ndarray) -> jnp.ndarray:
-    """One full mmt + output head pass (m4c.py:259-286)."""
+            prev_inds: jnp.ndarray,
+            remove_unk_idx: Optional[int] = None) -> jnp.ndarray:
+    """One full mmt + output head pass (m4c.py:259-286).
+
+    ``remove_unk_idx``: M4CCaptioner's remove_unk_in_pred
+    (m4c_captioner.py:16-23) — forces the <unk> score to -1e10 so
+    greedy decoding never emits it."""
     res = mmt_fwd(params, cfg, inputs["txt_emb"], inputs["txt_mask"],
                   inputs["obj_emb"], inputs["obj_mask"],
                   inputs["ocr_emb"], inputs["ocr_mask"],
@@ -232,7 +237,10 @@ def _scores(params: Params, cfg: M4CConfig, inputs: Params,
     fixed = L.linear_fwd(params["classifier"], res["mmt_dec_output"])
     dyn = ocr_ptr_net_fwd(params, cfg, res["mmt_dec_output"],
                           res["mmt_ocr_output"], inputs["ocr_mask"])
-    return jnp.concatenate([fixed, dyn], axis=-1)
+    scores = jnp.concatenate([fixed, dyn], axis=-1)
+    if remove_unk_idx is not None:
+        scores = scores.at[..., remove_unk_idx].set(-1e10)
+    return scores
 
 
 def m4c_forward(params: Params, cfg: M4CConfig,
@@ -243,13 +251,15 @@ def m4c_forward(params: Params, cfg: M4CConfig,
                 ocr_fc6: jnp.ndarray, ocr_order: jnp.ndarray,
                 ocr_bbox: jnp.ndarray, ocr_nums: jnp.ndarray,
                 prev_inds: Optional[jnp.ndarray] = None,
-                dec_steps: Optional[int] = None) -> jnp.ndarray:
+                dec_steps: Optional[int] = None,
+                remove_unk_idx: Optional[int] = None) -> jnp.ndarray:
     """M4C.forward (m4c.py:173-302).
 
     With ``prev_inds`` (training): one teacher-forced pass.  Without
     (eval): greedy decoding — ``dec_steps`` full-mmt passes inside a
     ``lax.scan``, feeding back argmax indices exactly like the
-    reference's Python loop.
+    reference's Python loop.  ``remove_unk_idx`` selects the
+    M4CCaptioner variant (m4c_captioner.py:6-23).
     """
     txt_mask = get_mask(txt_len, txt_inds.shape[1])
     txt_emb = text_bert_fwd(params, cfg, txt_inds, txt_mask)
@@ -263,14 +273,14 @@ def m4c_forward(params: Params, cfg: M4CConfig,
               "ocr_emb": ocr_emb, "ocr_mask": ocr_mask}
 
     if prev_inds is not None:
-        return _scores(params, cfg, inputs, prev_inds)
+        return _scores(params, cfg, inputs, prev_inds, remove_unk_idx)
 
     assert dec_steps is not None
     B = txt_inds.shape[0]
     inds0 = jnp.zeros((B, dec_steps), jnp.int32).at[:, 0].set(cfg.bos_idx)
 
     def step(inds, _):
-        scores = _scores(params, cfg, inputs, inds)
+        scores = _scores(params, cfg, inputs, inds, remove_unk_idx)
         nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
         inds = inds.at[:, 1:].set(nxt[:, :-1])
         return inds, scores

@@ -757,6 +757,22 @@ def language_decoder_fwd(p: Params, weighted_attn: jnp.ndarray,
     return weight_norm_fc_dim0_fwd(p["fc"], h2), h2, c2
 
 
+def init_visdial_discriminator(key: jax.Array, emb_out_dim: int,
+                               hidden_dim: int, dtype=jnp.float32) -> Params:
+    """VisDialDiscriminator (decoders.py:8-52): project embedded answer
+    options into the joint space, score by dot product."""
+    return {"projection": init_linear(key, emb_out_dim, hidden_dim, dtype)}
+
+
+def visdial_discriminator_fwd(p: Params, option_embeddings: jnp.ndarray,
+                              encoder_output: jnp.ndarray) -> jnp.ndarray:
+    """option_embeddings [N, n_options, emb_out] (already text-embedded,
+    the caller runs the shared TextEmbedding), encoder_output
+    [N, hidden] → scores [N, n_options]."""
+    opts = linear_fwd(p["projection"], option_embeddings)
+    return (opts * encoder_output[:, None, :]).sum(-1)
+
+
 # ---------------------------------------------------------------------------
 # CNN blocks (cnn_lstm baseline)
 # ---------------------------------------------------------------------------
