@@ -14,10 +14,13 @@ from transformer_mm_explainability_tpu.models import visual_bert as vb
 
 
 def test_vqa_accuracy():
+    """Reference semantics (metrics.py:329-362): the UNK column (index
+    0) is masked before the argmax, so row 2's argmax-at-0 score does
+    NOT count — its masked argmax lands on column 1 (soft 0.0)."""
     scores = jnp.asarray([[0.1, 2.0, 0.3], [5.0, 0.0, 0.0]])
     soft = jnp.asarray([[0.0, 0.6, 1.0], [0.3, 0.0, 0.0]])
     got = float(metrics.compute("vqa_accuracy", scores, soft))
-    assert got == pytest.approx((0.6 + 0.3) / 2)
+    assert got == pytest.approx((0.6 + 0.0) / 2)
 
 
 def test_accuracy_and_topk():

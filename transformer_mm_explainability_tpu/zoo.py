@@ -10,6 +10,7 @@ resolve components by name:
     runner_cls = registry.get("trainer", "mmf_pert")
 """
 
+from transformer_mm_explainability_tpu.core import losses  # noqa: F401  (registers losses)
 from transformer_mm_explainability_tpu.core import metrics  # noqa: F401  (registers metrics)
 from transformer_mm_explainability_tpu.core.registry import registry
 from transformer_mm_explainability_tpu.explain import (
@@ -37,6 +38,7 @@ from transformer_mm_explainability_tpu.models import (
     visual_bert,
     vit,
 )
+from transformer_mm_explainability_tpu.train import schedulers  # noqa: F401  (registers schedulers + adam_w)
 from transformer_mm_explainability_tpu.train.trainer import Trainer
 
 _MODELS = {
