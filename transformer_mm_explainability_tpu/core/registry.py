@@ -69,6 +69,18 @@ class Registry:
     def register_explainer(self, name: str) -> Callable:
         return self.register("explainer", name)
 
+    def register_encoder(self, name: str) -> Callable:
+        return self.register("encoder", name)
+
+    def register_transformer_backend(self, name: str) -> Callable:
+        return self.register("transformer_backend", name)
+
+    def register_decoder(self, name: str) -> Callable:
+        return self.register("decoder", name)
+
+    def register_fusion(self, name: str) -> Callable:
+        return self.register("fusion", name)
+
     # -- free-form state (registry.register/get in MMF) -------------------
     def set_state(self, key: str, value: Any) -> None:
         self._state[key] = value
