@@ -815,3 +815,166 @@ def conv_net_fwd(p: Params, x: jnp.ndarray, pool_stride: int = 2,
         bn["var"][None, :, None, None] + bn_eps)
     return x * bn["scale"][None, :, None, None] + bn["bias"][None, :, None,
                                                              None]
+
+
+# ---------------------------------------------------------------------------
+# remaining TextEmbedding family (embeddings.py:21-303)
+# ---------------------------------------------------------------------------
+
+def bilstm_text_embedding_fwd(p: Params, x: jnp.ndarray,
+                              rnn_type: str = "GRU",
+                              bidirectional: bool = True) -> jnp.ndarray:
+    """BiLSTMTextEmbedding.forward (embeddings.py:99-107): last-state
+    summary.  The reference's branches are inverted AND the
+    non-bidirectional path reads an undefined ``self.num_hid`` —
+    dead code that crashes (pinned in tests).  We implement the
+    documented intent: bidirectional → [last fwd state ‖ first bwd
+    state], unidirectional → last state."""
+    out = bilstm_text_embedding_forward_all(p, x, rnn_type)
+    if not bidirectional:
+        return out[:, -1]
+    H = out.shape[-1] // 2
+    return jnp.concatenate([out[:, -1, :H], out[:, 0, H:]], axis=1)
+
+
+def init_vocab_embedding(key: jax.Array, vocab_size: int,
+                         embedding_dim: int,
+                         vectors: Optional[jnp.ndarray] = None,
+                         dtype=jnp.float32) -> Params:
+    """VocabEmbedding (embeddings.py:59-68): an embedding table,
+    optionally seeded from the Vocab's pretrained vectors."""
+    if vectors is not None:
+        return {"table": jnp.asarray(vectors, dtype)}
+    table = jax.random.normal(key, (vocab_size, embedding_dim)) \
+        .astype(dtype)
+    return {"table": table}
+
+
+def vocab_embedding_fwd(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return p["table"][x]
+
+
+class PreExtractedEmbedding:
+    """PreExtractedEmbedding (embeddings.py:114-129): per-qid .npy
+    lookup with an LRU cache — host-side IO, returns a stacked batch."""
+
+    def __init__(self, out_dim: int, base_path: str,
+                 cache_size: int = 5000):
+        import functools
+        import os
+
+        self.text_out_dim = out_dim
+        self.base_path = base_path
+
+        import numpy as _np
+
+        @functools.lru_cache(maxsize=cache_size)
+        def get_item(qid: int):
+            return _np.load(os.path.join(base_path, f"{qid}.npy"))
+
+        self.get_item = get_item
+
+    def __call__(self, qids) -> jnp.ndarray:
+        import numpy as _np
+        return jnp.asarray(_np.stack([self.get_item(int(q))
+                                      for q in qids], axis=0))
+
+
+def init_multi_head_image_feature_embedding(
+        key: jax.Array, img_dim: int, question_dim: int, num_heads: int,
+        dtype=jnp.float32) -> Params:
+    """MultiHeadImageFeatureEmbedding (embeddings.py:264-282):
+    torch nn.MultiheadAttention(embed_dim=question_dim, kdim=img_dim,
+    vdim=img_dim) — separate q/k/v projection shapes, xavier-uniform
+    init like torch."""
+    ks = jax.random.split(key, 5)
+
+    def xavier(k, shape):
+        bound = jnp.sqrt(6.0 / (shape[0] + shape[1]))
+        return jax.random.uniform(k, shape, dtype, -bound, bound)
+
+    D, E = question_dim, img_dim
+    return {
+        "q": {"w": xavier(ks[0], (D, D)), "b": jnp.zeros((D,), dtype)},
+        "k": {"w": xavier(ks[1], (D, E)), "b": jnp.zeros((D,), dtype)},
+        "v": {"w": xavier(ks[2], (D, E)), "b": jnp.zeros((D,), dtype)},
+        "out": {"w": xavier(ks[3], (D, D)), "b": jnp.zeros((D,), dtype)},
+        "num_heads": num_heads,
+    }
+
+
+def multi_head_image_feature_embedding_fwd(
+        p: Params, image_feat: jnp.ndarray, question: jnp.ndarray
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """question [B, D] attends over image_feat [B, N, E] →
+    (context [B, D], averaged attention weights [B, 1, N]) — the
+    torch MHA convention of head-averaged weights."""
+    H = int(p["num_heads"])
+    B, N, _ = image_feat.shape
+    D = p["q"]["w"].shape[0]
+    dh = D // H
+    q = (question @ p["q"]["w"].T + p["q"]["b"]).reshape(B, 1, H, dh)
+    k = (image_feat @ p["k"]["w"].T + p["k"]["b"]).reshape(B, N, H, dh)
+    v = (image_feat @ p["v"]["w"].T + p["v"]["b"]).reshape(B, N, H, dh)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+        jnp.asarray(dh, q.dtype))
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, 1, D)
+    out = ctx @ p["out"]["w"].T + p["out"]["b"]
+    return out[:, 0], probs.mean(axis=1)
+
+
+TEXT_EMBEDDING_TYPES = ("identity", "vocab", "projection",
+                        "preextracted", "bilstm", "attention", "mcan",
+                        "torch")
+
+
+def init_text_embedding(key: jax.Array, emb_type: str, dtype=jnp.float32,
+                        **kwargs):
+    """TextEmbedding dispatcher (embeddings.py:21-56) → (params, fwd).
+    'mcan' (SAEmbedding) lives in models/movie_mcan; 'projection' in
+    models/encoders — both dispatched here for registry completeness."""
+    if emb_type == "identity":
+        return {}, lambda p, x: x
+    if emb_type in ("vocab", "torch"):
+        p = init_vocab_embedding(key, kwargs["vocab_size"],
+                                 kwargs["embedding_dim"],
+                                 kwargs.get("vectors"), dtype)
+        return p, vocab_embedding_fwd
+    if emb_type == "preextracted":
+        mod = PreExtractedEmbedding(kwargs["out_dim"],
+                                    kwargs["base_path"])
+        return {}, lambda p, qids: mod(qids)
+    if emb_type == "bilstm":
+        p = init_bilstm_text_embedding(
+            key, kwargs["hidden_dim"], kwargs["embedding_dim"],
+            kwargs.get("bidirectional", False),
+            kwargs.get("rnn_type", "GRU"), dtype)
+        rnn_type = kwargs.get("rnn_type", "GRU")
+        bidir = kwargs.get("bidirectional", False)
+        return p, (lambda p, x: bilstm_text_embedding_fwd(
+            p, x, rnn_type, bidir))
+    if emb_type == "attention":
+        p = init_attention_text_embedding(
+            key, kwargs["hidden_dim"], kwargs["embedding_dim"],
+            kwargs["conv1_out"], kwargs["conv2_out"],
+            kwargs.get("bidirectional", False), dtype)
+        return p, attention_text_embedding_fwd
+    if emb_type == "mcan":
+        from transformer_mm_explainability_tpu.models import movie_mcan
+        cfg = movie_mcan.MovieMcanConfig(**kwargs)
+        ks = jax.random.split(key, 3)
+        p = {"lstm": init_lstm(ks[0], cfg.embedding_dim, cfg.hidden_dim,
+                               dtype),
+             "blocks": [movie_mcan.init_self_attention(
+                 jax.random.fold_in(ks[1], i), cfg.hidden_dim, dtype)
+                 for i in range(cfg.num_layers)],
+             "attn_pool": movie_mcan.init_attn_pool_1d(
+                 ks[2], cfg.hidden_dim, cfg.num_feat, dtype)}
+        return p, (lambda p, x, mask=None:
+                   movie_mcan.sa_embedding_fwd(p, x, mask, cfg))
+    if emb_type == "projection":
+        p = init_linear(key, kwargs["in_dim"], kwargs["out_dim"], dtype)
+        return p, linear_fwd
+    raise NotImplementedError(
+        "Unknown question embedding '%s'" % emb_type)
