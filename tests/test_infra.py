@@ -170,3 +170,31 @@ def test_grad_accumulation_matches_large_batch():
     np.testing.assert_allclose(float(loss_acc), float(loss_big), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s_acc.params["w"]),
                                np.asarray(s_big.params["w"]), atol=1e-6)
+
+
+def test_report_container():
+    """Report (mmf/common/report.py:9-86): merge, attr access, kv-tuple
+    load, eval-shard accumulation with a warning on missing fields."""
+    from transformer_mm_explainability_tpu.core.sample import Report
+
+    r = Report({"id": np.arange(3), "batch_size": 3},
+               {"scores": np.ones((3, 2))})
+    assert r.get_batch_size() == 3
+    assert r.scores.shape == (3, 2)
+    assert set(r.fields()) >= {"id", "scores"}
+    r.extra = 5
+    assert r["extra"] == 5
+    with pytest.raises(AttributeError):
+        _ = r.nope
+
+    r2 = Report({"id": np.arange(2), "batch_size": 2},
+                {"scores": np.zeros((2, 2))})
+    with pytest.warns(UserWarning, match="missing"):
+        r.accumulate_tensor_fields(r2, ["scores", "missing"])
+    assert r["scores"].shape == (5, 2)
+
+    kv = Report([("a", 1), ("b", 2)])
+    assert kv.a == 1 and kv.fields() == ["a", "b"]
+
+    with pytest.raises(TypeError):
+        Report({"batch_size": 1}, "not-a-mapping")

@@ -88,3 +88,79 @@ def collate(samples: Sequence[Mapping[str, Any]],
         else:
             out[key] = list(vals)
     return out
+
+
+class Report(dict):
+    """mmf/common/report.py:9-86: merged batch+model_output container
+    used by evaluation/prediction loops.  Attribute access mirrors
+    keys; ``accumulate_tensor_fields`` concatenates eval shards (the
+    host-side gather step after jitted eval batches)."""
+
+    def __init__(self, batch=None, model_output=None, *args):
+        super().__init__()
+        if batch is None:
+            return
+        if model_output is None:
+            model_output = {}
+        if self._check_and_load_tuple(batch):
+            return
+        all_args = [batch, model_output, *args]
+        for idx, arg in enumerate(all_args):
+            if not isinstance(arg, Mapping):
+                raise TypeError(
+                    "Argument {:d}, {} must be of instance of "
+                    "collections.abc.Mapping".format(idx, arg))
+        bs = batch.get("batch_size")
+        if bs is None:
+            sizes = [len(v) for v in batch.values()
+                     if hasattr(v, "__len__")]
+            bs = sizes[0] if sizes else 0
+        self["batch_size"] = bs
+        for arg in all_args:
+            for key, item in arg.items():
+                self[key] = item
+
+    def get_batch_size(self):
+        return self["batch_size"]
+
+    @staticmethod
+    def _is_kv_tuples(batch):
+        return (not isinstance(batch, Mapping)
+                and isinstance(batch[0], (tuple, list))
+                and isinstance(batch[0][0], str))
+
+    def _check_and_load_tuple(self, batch):
+        if not self._is_kv_tuples(batch):
+            return False
+        for k, v in batch:
+            self[k] = v
+        return True
+
+    def __setattr__(self, key, value):
+        self[key] = value
+
+    def __getattr__(self, key):
+        try:
+            return self[key]
+        except KeyError as e:
+            raise AttributeError(key) from e
+
+    def fields(self):
+        return list(self.keys())
+
+    def accumulate_tensor_fields(self, report: "Report", field_list):
+        import warnings
+
+        for key in field_list:
+            if key not in self:
+                warnings.warn(
+                    f"{key} not found in report. Metrics calculation "
+                    "might not work as expected.")
+                continue
+            val = self[key]
+            is_array = (isinstance(val, np.ndarray)
+                        or type(val).__module__.startswith("jax"))
+            if is_array:
+                self[key] = np.concatenate(
+                    [np.asarray(self[key]), np.asarray(report[key])],
+                    axis=0)
