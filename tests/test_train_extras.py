@@ -1,5 +1,8 @@
 """BertAdam optimizer + DETR train step."""
 
+import json
+import pathlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -74,3 +77,59 @@ def test_detr_train_step_decreases_loss():
     assert float(losses["loss"]) < float(losses_first["loss"])
     for k in ("loss_ce", "loss_bbox", "loss_giou"):
         assert np.isfinite(float(losses[k]))
+
+
+def test_bert_no_decay_mask_and_multiplier():
+    """mmf/utils/modeling.py:18-67 semantics: bias/LayerNorm leaves
+    exempt from weight decay; non-classifier subtrees get lr ×
+    finetune_lr_multiplier."""
+    import optax
+    from transformer_mm_explainability_tpu.train import steps
+
+    params = {
+        "encoder": {"attn": {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)},
+                    "attn_ln": {"scale": jnp.ones(4),
+                                "bias": jnp.zeros(4)}},
+        "classifier": {"w": jnp.ones((4, 2)), "b": jnp.zeros(2)},
+    }
+    mask = steps.bert_no_decay_mask(params)
+    assert mask["encoder"]["attn"]["w"] is True
+    assert mask["encoder"]["attn"]["b"] is False
+    assert mask["encoder"]["attn_ln"]["scale"] is False
+    assert mask["classifier"]["w"] is True
+
+    tx = steps.make_bert_optimizer(params, learning_rate=1.0,
+                                   weight_decay=0.0,
+                                   finetune_lr_multiplier=0.0)
+    state = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(g, state, params)
+    # backbone lr multiplied by 0 → zero updates; classifier moves
+    assert float(jnp.abs(updates["encoder"]["attn"]["w"]).max()) == 0.0
+    assert float(jnp.abs(updates["classifier"]["w"]).max()) > 0.0
+
+
+def test_process_answers_vocab(tmp_path):
+    """process_answers.py:10-104: score table, filtering, vocab file."""
+    from transformer_mm_explainability_tpu.tools import process_answers
+
+    assert process_answers.get_score(0) == 0.0
+    assert process_answers.get_score(2) == 0.6
+    assert process_answers.get_score(7) == 1.0
+
+    ann = {"annotations": [
+        {"question_id": 1, "multiple_choice_answer": "Two, dogs?"},
+        {"question_id": 2, "multiple_choice_answer": "two dogs"},
+        {"question_id": 3, "multiple_choice_answer": "a cat"},
+        {"question_id": 4, "multiple_choice_answer": "the cat"},
+        # same qid → one occurrence only
+        {"question_id": 1, "multiple_choice_answer": "two dogs"},
+    ]}
+    f = tmp_path / "train.json"
+    f.write_text(json.dumps(ann))
+    out = process_answers.build_answer_vocab(str(f), out_dir=str(tmp_path),
+                                             min_freq=2)
+    words = pathlib.Path(out).read_text().split()
+    assert words[0] == "<unk>"
+    assert "2 dogs" in " ".join(words)  # EvalAI-normalized
+    assert "cat" in words  # "a" article stripped

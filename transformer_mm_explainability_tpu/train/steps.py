@@ -129,3 +129,62 @@ def make_accum_train_step(loss_fn, tx, accum_steps: int):
         return TrainState(params, opt_state, state.step + 1), loss / accum_steps
 
     return step
+
+
+def bert_no_decay_mask(params) -> Any:
+    """get_bert_configured_parameters (mmf/utils/modeling.py:18-41):
+    bias and LayerNorm parameters get weight_decay 0.  In a functional
+    pytree, "name contains 'bias'/'LayerNorm'" becomes: leaf path
+    contains a bias-like key or a norm-scope key.  Returns a pytree of
+    bools (True = APPLY decay) for optax.masked / adamw(mask=...)."""
+    import jax
+
+    NO_DECAY_KEYS = {"b", "bias", "conv_b", "decoder_bias"}
+    NORM_SCOPES = {"ln", "layer_norm", "layernorm", "attn_ln", "mlp_ln",
+                   "ln0", "ln1", "ln_mha", "ln_fcn", "ln_f", "bn",
+                   "bn1", "bn2", "bn3"}
+
+    def decay(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None))
+                for p in path]
+        for k in keys:
+            if isinstance(k, str):
+                if k in NO_DECAY_KEYS or k.lower() in NORM_SCOPES:
+                    return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decay, params)
+
+
+def make_bert_optimizer(params, learning_rate: float = 5e-5,
+                        weight_decay: float = 0.01,
+                        finetune_lr_multiplier: float = 1.0,
+                        classifier_key: str = "classifier",
+                        schedule=None):
+    """get_optimizer_parameters_for_bert (mmf/utils/modeling.py:44-67)
+    on optax: AdamW whose decay mask exempts bias/LayerNorm leaves,
+    and — when ``finetune_lr_multiplier != 1`` — every subtree except
+    ``classifier`` trained at lr × multiplier via optax.multi_transform
+    (the reference's per-group lr override)."""
+    import jax
+    import optax
+
+    mask = bert_no_decay_mask(params)
+
+    def adamw(lr):
+        tx = optax.adamw(lr if schedule is None else schedule,
+                         weight_decay=weight_decay, mask=mask)
+        return tx
+
+    if finetune_lr_multiplier == 1.0:
+        return adamw(learning_rate)
+
+    def label(path, leaf):
+        top = getattr(path[0], "key", None)
+        return "classifier" if top == classifier_key else "backbone"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    return optax.multi_transform(
+        {"classifier": adamw(learning_rate),
+         "backbone": adamw(learning_rate * finetune_lr_multiplier)},
+        labels)

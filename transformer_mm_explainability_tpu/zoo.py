@@ -24,6 +24,7 @@ from transformer_mm_explainability_tpu.harness.pert_runner import (
     LxmertPerturbationRunner,
     VisualBertPerturbationRunner,
 )
+from transformer_mm_explainability_tpu.models import encoders  # noqa: F401  (registers encoders)
 from transformer_mm_explainability_tpu.models import (
     clip,
     detr,
