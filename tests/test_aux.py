@@ -158,3 +158,21 @@ def test_sweep_grid_and_state(tmp_path, monkeypatch):
     assert all(os.path.exists(s) for s in scripts)
     body = open(scripts[0]).read()
     assert "#SBATCH --requeue" in body and "srun" in body
+
+
+def test_make_grid_and_visualize_images():
+    """mmf/utils/visualize.py:9-47 + torchvision make_grid tiling."""
+    from transformer_mm_explainability_tpu.utils.visualization import (
+        make_grid, visualize_images)
+
+    imgs = np.stack([np.full((4, 4, 3), i, np.float32)
+                     for i in range(5)])
+    grid = make_grid(imgs, nrow=2, padding=1)
+    assert grid.shape == (3 * 5 + 1, 2 * 5 + 1, 3)
+    assert grid[1, 1, 0] == 0 and grid[1, 6, 0] == 1
+    assert grid[0, 0, 0] == 0.0  # padding
+
+    out = visualize_images(
+        [np.zeros((8, 6, 3), np.float32),
+         np.full((4, 4, 3), 255.0, np.float32)], size=(5, 5))
+    assert out.shape[2] == 3 and out.max() <= 1.0

@@ -42,6 +42,7 @@ class DETRConfig:
     dim_feedforward: int = 2048
     backbone_channels: int = 2048
     dilation: bool = False  # DC5 variant
+    backbone_stages: tuple = (3, 4, 6, 3)  # R50; R101 = (3, 4, 23, 3)
 
 
 DETR_R50 = DETRConfig()
@@ -136,7 +137,8 @@ def init_params(key: jax.Array, cfg: DETRConfig = DETR_R50,
         for k in jax.random.split(ks[1], cfg.num_decoder_layers)
     ]
     return {
-        "backbone": resnet.init_params(ks[2], dtype=dtype),
+        "backbone": resnet.init_params(ks[2], stages=cfg.backbone_stages,
+                                       dtype=dtype),
         "input_proj": {
             "w": u(ks[3], (cfg.backbone_channels, D), cfg.backbone_channels),
             "b": zeros((D,))},

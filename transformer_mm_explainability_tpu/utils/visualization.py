@@ -105,3 +105,48 @@ def mask_overlay(image: np.ndarray, masks: np.ndarray,
         out = np.where(m[..., None] > 0.5,
                        (1 - alpha) * out + alpha * color, out)
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2,
+              pad_value: float = 0.0) -> np.ndarray:
+    """torchvision.utils.make_grid semantics on [N, H, W, C] numpy:
+    row-major tiling with ``padding`` pixels between cells."""
+    images = np.asarray(images)
+    n, h, w, c = images.shape
+    ncol = min(nrow, n)
+    nr = -(-n // ncol)
+    H = nr * (h + padding) + padding
+    W = ncol * (w + padding) + padding
+    grid = np.full((H, W, c), pad_value, images.dtype)
+    for idx in range(n):
+        r, col = divmod(idx, ncol)
+        y = r * (h + padding) + padding
+        x = col * (w + padding) + padding
+        grid[y:y + h, x:x + w] = images[idx]
+    return grid
+
+
+def visualize_images(images, size=(224, 224), nrow: int = 8,
+                     show: bool = False) -> np.ndarray:
+    """mmf/utils/visualize.py:9-47: resize a list of images to a common
+    size, tile into a grid; optionally draw with matplotlib.  Accepts
+    HWC arrays or PIL images; returns the grid array."""
+    assert size is not None or len(images) == 1, (
+        "If size is not passed, only one image can be visualized")
+    arrays = []
+    for im in images:
+        arr = np.asarray(im, np.float32)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        if size is not None and arr.shape[:2] != tuple(size):
+            import jax.numpy as jnp
+
+            from transformer_mm_explainability_tpu.ops.image import resize
+            arr = np.asarray(resize(jnp.asarray(arr), tuple(size)))
+        arrays.append(arr)
+    grid = make_grid(np.stack(arrays), nrow=nrow)
+    if show:  # pragma: no cover - display path
+        import matplotlib.pyplot as plt
+        plt.axis("off")
+        plt.imshow(grid)
+    return grid
