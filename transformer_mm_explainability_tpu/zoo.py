@@ -33,6 +33,8 @@ from transformer_mm_explainability_tpu.models import (
     lxmert,
     m4c,
     mmbt,
+    mmf_bert,
+    movie_mcan,
     mmf_transformer,
     mmf_zoo,
     vilbert,
@@ -59,6 +61,7 @@ _MODELS = {
     "cnn_lstm": mmf_zoo,
     "top_down_bottom_up": mmf_zoo,
     "m4c": m4c,
+    "m4c_captioner": m4c,          # m4c_captioner.py:6 (remove_unk_idx)
     "mmbt": mmbt,
     "concat_bert": fusions,
     "concat_bow": fusions,
@@ -67,6 +70,9 @@ _MODELS = {
     "unimodal_image": fusions,
     "mmf_transformer": mmf_transformer,
     "vilbert": vilbert,
+    "mmf_bert": mmf_bert,          # mmf_bert.py:19
+    "movie_mcan": movie_mcan,      # movie_mcan.py:21
+    "visual_dialog": mmf_zoo,      # visdial_multi_modal.py:7 (pythia + VisDialDiscriminator)
 }
 _EXPLAINERS = {
     "vit": explain_vit,
