@@ -110,3 +110,53 @@ def adam_w(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
         tx = optax.chain(tx, optax.scale_by_schedule(
             lambda step: schedule(step)))
     return tx
+
+
+def _register_torch_named_optimizers():
+    """build_optimizer (mmf/utils/build.py:218-219) falls back to
+    ``torch.optim`` names when a type isn't registered — mirror the
+    names MMF configs actually use onto optax."""
+
+    @registry.register_optimizer("Adamax")
+    def adamax(lr: float = 2e-3, eps: float = 1e-8,
+               weight_decay: float = 0.0, betas=(0.9, 0.999)):
+        tx = optax.adamax(lr, b1=betas[0], b2=betas[1], eps=eps)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+        return tx
+
+    @registry.register_optimizer("Adam")
+    def adam(lr: float = 1e-3, eps: float = 1e-8, betas=(0.9, 0.999),
+             weight_decay: float = 0.0):
+        if weight_decay:
+            return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                               weight_decay=weight_decay)
+        return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+
+    @registry.register_optimizer("AdamW")
+    def adamw(lr: float = 1e-3, eps: float = 1e-8, betas=(0.9, 0.999),
+              weight_decay: float = 0.01):
+        return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                           weight_decay=weight_decay)
+
+    @registry.register_optimizer("SGD")
+    def sgd(lr: float = 0.01, momentum: float = 0.0,
+            weight_decay: float = 0.0, nesterov: bool = False):
+        tx = optax.sgd(lr, momentum=momentum or None, nesterov=nesterov)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+        return tx
+
+
+_register_torch_named_optimizers()
+
+
+def _register_bert_adam():
+    """lxmert's BertAdam (lxrt/optimization.py) under the config name
+    the run scripts use (--optim bert)."""
+    from transformer_mm_explainability_tpu.train import steps
+
+    registry.register_optimizer("bert_adam")(steps.make_bert_adam)
+
+
+_register_bert_adam()

@@ -13,6 +13,8 @@ resolve components by name:
 from transformer_mm_explainability_tpu.core import losses  # noqa: F401  (registers losses)
 from transformer_mm_explainability_tpu.core import metrics  # noqa: F401  (registers metrics)
 from transformer_mm_explainability_tpu.core.registry import registry
+from transformer_mm_explainability_tpu.data import builders  # noqa: F401  (registers builders)
+from transformer_mm_explainability_tpu.data import processors  # noqa: F401  (registers processors)
 from transformer_mm_explainability_tpu.explain import (
     clip as explain_clip,
     detr as explain_detr,
