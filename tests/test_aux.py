@@ -174,5 +174,5 @@ def test_make_grid_and_visualize_images():
 
     out = visualize_images(
         [np.zeros((8, 6, 3), np.float32),
-         np.full((4, 4, 3), 255.0, np.float32)], size=(5, 5))
+         np.full((4, 4, 3), 255, np.uint8)], size=(5, 5))
     assert out.shape[2] == 3 and out.max() <= 1.0

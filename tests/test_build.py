@@ -99,3 +99,32 @@ def test_build_dataloader_shards_and_shuffles():
     assert not np.array_equal(
         np.concatenate([b["idx"] for b in epoch_iter(0)]),
         np.concatenate([b["idx"] for b in epoch_iter(1)]))
+
+
+def test_triple_linear_training_branches():
+    """Regression: TripleLinear applies PER-BRANCH heads to [B, 3, D]
+    training input (layers.py:674-691), not head 0 broadcast."""
+    p, fwd = B.build_classifier_layer({"type": "triple_linear"}, 4, 3,
+                                      key=jax.random.PRNGKey(2))
+    x3 = jnp.asarray(np.random.RandomState(0).randn(2, 3, 4)
+                     .astype(np.float32))
+    out = fwd(p, x3)
+    assert out.shape == (2, 3, 3)
+    from transformer_mm_explainability_tpu.models import mmf_layers as L
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(out[:, i]),
+                                   np.asarray(L.linear_fwd(p[i], x3[:, i])),
+                                   atol=1e-6)
+    assert not np.allclose(np.asarray(out[:, 1]),
+                           np.asarray(L.linear_fwd(p[0], x3[:, 1])))
+    # eval path: [B, D] through head 0
+    x2 = x3[:, 0]
+    np.testing.assert_allclose(np.asarray(fwd(p, x2)),
+                               np.asarray(L.linear_fwd(p[0], x2)))
+
+
+def test_build_model_resolves():
+    mod = B.build_model({"model": "vit"})
+    assert hasattr(mod, "relevancy")
+    with pytest.raises(KeyError):
+        B.build_model({"model": "nonexistent"})

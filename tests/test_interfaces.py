@@ -33,8 +33,9 @@ def interface():
 
 
 def test_classify_array(interface):
-    img = np.random.RandomState(0).rand(3, 64, 64).astype(np.float32)
-    out = interface.classify(np.moveaxis(img, 0, -1) * 255, "a meme text")
+    img = (np.random.RandomState(0).rand(64, 64, 3) * 255
+           ).astype(np.uint8)
+    out = interface.classify(img, "a meme text")
     assert out["label"] in (0, 1)
     assert 0.0 <= out["confidence"] <= 1.0
 

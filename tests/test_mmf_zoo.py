@@ -1451,3 +1451,27 @@ def test_movie_mcan_full_forward_runs():
     out3 = MM.movie_mcan_forward(params, MCFG, toks, grid, training=True)
     assert out3.shape == (2, 3, MCFG.num_answers)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_init_lorra_forward_runs():
+    """Regression: a freshly-initialized LoRRA must run end-to-end —
+    the context branch doubles the joint dim, so the classifier takes
+    2×combine_hidden_dim (lorra.py classifier config)."""
+    cfg = Z.LorraConfig(vocab_size=20, num_answers=5, embedding_dim=8,
+                        text_hidden_dim=12, conv1_out=6, conv2_out=2,
+                        image_feature_dim=16, combine_hidden_dim=14,
+                        classifier_text_hidden=6, classifier_img_hidden=8,
+                        context_feature_dim=10, order_vector_dim=4,
+                        image_encoders=("default",))
+    params = Z.init_lorra(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(7)
+    toks = jnp.asarray(rs.randint(0, cfg.vocab_size, (2, 5)))
+    feats = [jnp.asarray(rs.randn(2, 6, cfg.image_feature_dim)
+                         .astype(np.float32))]
+    ctx = jnp.asarray(rs.randn(2, 4, cfg.context_feature_dim)
+                      .astype(np.float32))
+    order = jnp.asarray(rs.randn(2, 4, cfg.order_vector_dim)
+                        .astype(np.float32))
+    out = Z.lorra_forward(params, cfg, toks, feats, ctx, order)
+    assert out.shape == (2, cfg.num_answers)
+    assert np.isfinite(np.asarray(out)).all()

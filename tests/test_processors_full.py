@@ -350,7 +350,7 @@ def test_image_processors():
                                          "std": [0.5, 0.5, 0.5]}},
         {"type": "GrayScaleTo3Channels", "params": {}},
     ]})
-    img = np.full((1, 2, 2), 255.0, np.float32)
+    img = np.full((1, 2, 2), 255, np.uint8)
     out = t(img)
     assert out.shape == (3, 2, 2)
     np.testing.assert_allclose(out, 1.0)

@@ -60,8 +60,9 @@ def test_pythia_schedule_vs_bisect_oracle(use_warmup):
 
 
 def test_multi_step_asserts_warmup_before_first_milestone():
+    # the assert only bites when warmup is actually enabled
     with pytest.raises(AssertionError):
-        S.multi_step(lr_steps=[5], warmup_iterations=10)
+        S.multi_step(use_warmup=True, lr_steps=[5], warmup_iterations=10)
     sched = S.multi_step(use_warmup=True, lr_steps=[20], lr_ratio=0.5,
                          warmup_iterations=4, warmup_factor=0.5)
     assert float(sched(0)) == pytest.approx(0.5)
@@ -80,3 +81,12 @@ def test_registry_and_adam_w():
     g = {"w": jnp.ones((3,))}
     updates, _ = tx.update(g, state, params)
     assert jnp.isfinite(updates["w"]).all()
+
+
+def test_multi_step_no_warmup_early_milestone():
+    """Regression: the reference zeroes warmup_iterations when
+    use_warmup is False BEFORE the assert (schedulers.py:45-47), so a
+    first milestone below the default 1000 is legal."""
+    sched = S.multi_step(lr_steps=[500], lr_ratio=0.1)
+    assert float(sched(0)) == 1.0
+    assert float(sched(600)) == pytest.approx(0.1)

@@ -46,12 +46,12 @@ def build_trainer(config: Dict[str, Any], **kwargs) -> Any:
 
 def build_model(config: Dict[str, Any]) -> Any:
     """build.py:61-82: resolve the registered model by
-    ``config['model']`` and construct it with the config."""
-    model_name = config["model"]
-    model_cls = registry.get("model", model_name)
-    if model_cls is None:
-        raise RuntimeError(f"No model registered for name: {model_name}")
-    return model_cls(config) if callable(model_cls) else model_cls
+    ``config['model']`` — registry.get raises KeyError (listing the
+    known names) for unregistered models.  Registered entries here are
+    model MODULES (functional init/forward pairs), returned as-is;
+    class-style entries are constructed with the config."""
+    model = registry.get("model", config["model"])
+    return model(config) if isinstance(model, type) else model
 
 
 def build_dataset(dataset_key: str, config: Optional[Dict] = None,
@@ -162,7 +162,18 @@ def build_classifier_layer(config: Dict[str, Any], in_dim: int,
     if ctype == "triple_linear":
         ks = jax.random.split(key, 3)
         p = [L.init_linear(k, in_dim, out_dim, dtype) for k in ks]
-        return p, (lambda p, x: L.linear_fwd(p[0], x))
+
+        def triple_fwd(p, x):
+            """TripleLinear (layers.py:674-691): training input
+            [B, 3, D] → per-branch heads stacked to [B, 3, A]; eval
+            input [B, D] → first head only."""
+            if x.ndim == 3:
+                return jnp.stack(
+                    [L.linear_fwd(p[i], x[:, i]) for i in range(3)],
+                    axis=1)
+            return L.linear_fwd(p[0], x)
+
+        return p, triple_fwd
     if ctype == "linear":
         p = L.init_linear(key, in_dim, out_dim, dtype)
         return p, L.linear_fwd

@@ -147,8 +147,14 @@ def caption_bleu4(sample_list: SampleDict, model_output: SampleDict,
     hypotheses (``model_output['captions']`` or argmax of scores)."""
     import nltk.translate.bleu_score as bleu_score
     if caption_processor is None:
-        caption_processor = registry.get("processor",
-                                         "coco_caption_processor")
+        # free-form registry STATE set by the dataset builder, like the
+        # reference's registry.get("coco_caption_processor")
+        caption_processor = registry.get_state("coco_caption_processor")
+        if caption_processor is None:
+            raise KeyError(
+                "no 'coco_caption_processor' in registry state — the "
+                "dataset builder must register it, or pass "
+                "caption_processor explicitly")
     references = [[caption_processor(list(c))["tokens"] for c in caps]
                   for caps in sample_list["answers"]]
     if "captions" in model_output:
@@ -169,9 +175,12 @@ def vqa_evalai_accuracy(sample_list: SampleDict, model_output: SampleDict,
     ``context_tokens``), EvalAI-normalize both sides, min(#match/3,1)
     averaged leave-one-out over the 10 ground-truth answers."""
     if answer_processor is None:
-        answer_processor = registry.get(
-            "processor",
-            sample_list.get("dataset_name", "vqa2") + "_answer_processor")
+        key = sample_list.get("dataset_name", "vqa2") + "_answer_processor"
+        answer_processor = registry.get_state(key)
+        if answer_processor is None:
+            raise KeyError(
+                f"no {key!r} in registry state — the dataset builder "
+                "must register it, or pass answer_processor explicitly")
     evalai = m4c_evaluators.EvalAIAnswerProcessor()
     output = np.asarray(_masked_unk_softmax(
         jnp.asarray(model_output["scores"]), 0).argmax(axis=1))

@@ -250,13 +250,15 @@ class RandomSelect:
 
 
 class ToTensor:
-    """transforms.py:228-230: uint8 [0,255] → float [0,1]."""
+    """transforms.py:228-230: integer [0,255] → float [0,1].  Keyed
+    off DTYPE like torchvision's ToTensor (a value heuristic would
+    silently skip the rescale on near-black integer images)."""
 
     def __call__(self, img, target):
-        img = np.asarray(img, np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
-        return img, target
+        img = np.asarray(img)
+        if np.issubdtype(img.dtype, np.integer):
+            img = img.astype(np.float32) / 255.0
+        return img.astype(np.float32), target
 
 
 class Normalize:

@@ -950,8 +950,11 @@ class TorchvisionTransforms:
                         np.asarray(I.center_crop(hwc, size)), -1, 0)
             elif name == "ToTensor":
                 def fn(x):
-                    x = np.asarray(x, np.float32)
-                    return x / 255.0 if x.max() > 1.5 else x
+                    # dtype-keyed like torchvision: integers rescale
+                    x = np.asarray(x)
+                    if np.issubdtype(x.dtype, np.integer):
+                        x = x.astype(np.float32) / 255.0
+                    return x.astype(np.float32)
             elif name == "Normalize":
                 mean = np.asarray(params["mean"],
                                   np.float32)[:, None, None]

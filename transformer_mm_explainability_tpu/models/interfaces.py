@@ -36,10 +36,11 @@ def _load_image(image: Union[str, np.ndarray]) -> np.ndarray:
     image = np.asarray(image)
     if image.ndim == 3 and image.shape[-1] == 3:  # HWC → CHW
         image = np.moveaxis(image, -1, 0)
-    image = image.astype(np.float32)
-    if image.max() > 1.5:
-        image = image / 255.0
-    return image
+    # dtype-keyed rescale (torchvision ToTensor semantics): integer
+    # inputs are 0-255, floats are assumed already scaled
+    if np.issubdtype(image.dtype, np.integer):
+        return image.astype(np.float32) / 255.0
+    return image.astype(np.float32)
 
 
 class MMBTGridHMInterface:

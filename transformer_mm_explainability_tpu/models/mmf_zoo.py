@@ -222,7 +222,7 @@ class LorraConfig(PythiaConfig):
 
 def init_lorra(key: jax.Array, cfg: LorraConfig,
                dtype=jnp.float32) -> Params:
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     params = init_pythia(k1, cfg, dtype)
     # context stream: default encoder (identity) + sigmoid attention
     params["context_stream"] = _init_feature_stream(
@@ -231,6 +231,12 @@ def init_lorra(key: jax.Array, cfg: LorraConfig,
     # combine layer gains the fa_context branch (context_dim=350)
     params["combine"]["fa_context"] = L.init_weight_norm_fc(
         k3, cfg.context_out_dim, cfg.combine_hidden_dim, dtype)
+    # the context branch doubles the joint embedding
+    # ([image*txt ‖ context*txt], layers.py NonLinearElementMultiply),
+    # so LoRRA's classifier takes 2×combine_hidden_dim
+    params["classifier"] = L.init_logit_classifier(
+        k4, 2 * cfg.combine_hidden_dim, cfg.num_answers,
+        cfg.classifier_text_hidden, cfg.classifier_img_hidden, dtype)
     return params
 
 

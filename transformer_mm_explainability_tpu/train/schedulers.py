@@ -90,7 +90,11 @@ def multi_step(use_warmup: bool = False, lr_steps: Sequence[int] = (14000,),
                warmup_factor: float = 0.2) -> Schedule:
     """MultiStepScheduler (schedulers.py:40-62): same staircase as
     pythia but the warmup gate checks ``use_warmup`` inside get_lr and
-    asserts the warmup ends before the first milestone."""
+    asserts the warmup ends before the first milestone.  The reference
+    zeroes warmup_iterations when use_warmup is False (:45-47) BEFORE
+    asserting — no-warmup configs with early milestones are legal."""
+    if not use_warmup:
+        warmup_iterations = 0
     assert warmup_iterations < lr_steps[0]
     return pythia(use_warmup=use_warmup,
                   warmup_iterations=warmup_iterations,

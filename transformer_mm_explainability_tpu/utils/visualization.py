@@ -135,9 +135,10 @@ def visualize_images(images, size=(224, 224), nrow: int = 8,
         "If size is not passed, only one image can be visualized")
     arrays = []
     for im in images:
-        arr = np.asarray(im, np.float32)
-        if arr.max() > 1.5:
-            arr = arr / 255.0
+        arr = np.asarray(im)
+        if np.issubdtype(arr.dtype, np.integer):
+            arr = arr.astype(np.float32) / 255.0
+        arr = arr.astype(np.float32)
         if size is not None and arr.shape[:2] != tuple(size):
             import jax.numpy as jnp
 
