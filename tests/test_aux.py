@@ -176,3 +176,18 @@ def test_make_grid_and_visualize_images():
         [np.zeros((8, 6, 3), np.float32),
          np.full((4, 4, 3), 255, np.uint8)], size=(5, 5))
     assert out.shape[2] == 3 and out.max() <= 1.0
+
+
+def test_eval_ground_truths_include_crowds(tmp_path):
+    """Regression: target() drops crowds (training view, like the
+    reference loader) but the evaluator-side GT must include them as
+    ignore regions — otherwise predictions over crowd areas are
+    scored as false positives."""
+    ds = coco.CocoDetection(make_coco_json(tmp_path))
+    target = ds.target(1)
+    assert (target["iscrowd"] == 0).all()  # training view: no crowds
+    gts = coco.eval_ground_truths(ds, 1)
+    crowd_flags = sorted(g["iscrowd"] for g in gts)
+    assert crowd_flags == [0, 1]           # eval view: crowd present
+    crowd = [g for g in gts if g["iscrowd"]][0]
+    assert crowd["category_id"] == 7

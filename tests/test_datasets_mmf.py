@@ -284,9 +284,9 @@ def test_vqa_style_builders_registered():
 
 
 def test_nlvr2_builder(tmp_path):
-    for slot in ("img0", "img1"):
-        _write_features(tmp_path, f"dev-0-0-{slot}",
-                        seed=hash(slot) % 100)
+    for i, slot in enumerate(("img0", "img1")):
+        # deterministic distinct seeds (str hash is per-process random)
+        _write_features(tmp_path, f"dev-0-0-{slot}", seed=11 + i)
     row = {"identifier": "dev-0-0-0", "sentence": "two dogs are sitting",
            "label": "True"}
     apath = tmp_path / "dev.jsonl"

@@ -270,3 +270,35 @@ def test_batch_loader_unnormalized_and_errors(tmp_path):
     with pytest.raises(ValueError):
         native.BatchLoader(store, [0, 99], batch=2)
     store.close()
+
+
+def test_tsv_majority_dim_beats_poisoned_first_row(tmp_path):
+    """Regression: a corrupt first row whose truncated payload happens
+    to divide num_boxes must not set the store dim — the majority dim
+    wins and genuine rows survive."""
+    import base64
+
+    def row(img_id, n, dim):
+        ids = base64.b64encode(
+            np.arange(n, dtype=np.int64).tobytes()).decode()
+        conf = base64.b64encode(
+            np.ones(n, np.float32).tobytes()).decode()
+        boxes = base64.b64encode(
+            np.ones((n, 4), np.float32).tobytes()).decode()
+        feats = base64.b64encode(
+            np.full((n, dim), 2.0, np.float32).tobytes()).decode()
+        return "\t".join([img_id, "10", "20", ids, conf, ids, conf,
+                          str(n), boxes, feats])
+
+    path = tmp_path / "poison.tsv"
+    # first row: dim 8 (a truncated dim-16 row that still divides n);
+    # three genuine dim-16 rows follow
+    path.write_text("\n".join([row("bad", 4, 8)]
+                              + [row(f"img{i}", 4, 16)
+                                 for i in range(3)]) + "\n")
+    from transformer_mm_explainability_tpu.native import tsv
+
+    rows = tsv.load_obj_tsv(str(path))
+    assert len(rows) == 3
+    assert all(r["features"].shape == (4, 16) for r in rows)
+    assert rows[0]["img_id"] == "img0"

@@ -18,15 +18,8 @@ H, W = 48, 72                  # processed size
 IS_THING = {i: (i % 2 == 0) for i in range(C + 1)}
 
 
-def _id2rgb(id_map):
-    id_map = np.asarray(id_map, np.int64)
-    return np.stack([id_map % 256, (id_map // 256) % 256,
-                     (id_map // 65536) % 256], axis=-1).astype(np.uint8)
-
-
-def _rgb2id(color):
-    color = np.asarray(color, np.int64)
-    return color[..., 0] + 256 * color[..., 1] + 65536 * color[..., 2]
+# one canonical id<->rgb codec lives in the shim module
+from _shims import _id2rgb, _rgb2id  # noqa: E402
 
 
 def _load_ref_postprocess():
@@ -181,3 +174,27 @@ def test_pq_void_and_crowd():
     r = pano.pq_compute([(gt, gt_info)], [(pr, pr_info)], cats)
     # no scoreable segments at all → category never enters the average
     assert r["All"]["n"] == 0 and r["All"]["pq"] == 0.0
+
+
+def test_to_pq_format_roundtrip():
+    """Regression: post_process ids are 0-based with -1 empty; the PQ
+    convention is 1-based with 0=VOID — the adapter must shift both
+    the map and segments_info, and a perfect prediction must score
+    PQ=1.0 through the adapter."""
+    from transformer_mm_explainability_tpu.harness.panoptic import (
+        pq_compute, to_pq_format)
+
+    id_map = np.zeros((8, 8), np.int64)
+    id_map[:, 4:] = 1
+    id_map[0, 0] = -1  # no-segment pixel
+    result = {"id_map": id_map,
+              "segments_info": [
+                  {"id": 0, "isthing": True, "category_id": 1, "area": 31},
+                  {"id": 1, "isthing": False, "category_id": 2, "area": 32}]}
+    pq_map, segs = to_pq_format(result)
+    assert pq_map[0, 0] == 0          # VOID
+    assert sorted(s["id"] for s in segs) == [1, 2]
+    cats = {1: {"isthing": True}, 2: {"isthing": False}}
+    out = pq_compute([(pq_map, segs)], [(pq_map, segs)], cats)
+    assert out["All"]["pq"] == pytest.approx(1.0)
+    assert out["Things"]["n"] == 1 and out["Stuff"]["n"] == 1

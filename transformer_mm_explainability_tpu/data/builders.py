@@ -106,8 +106,12 @@ class VQA2Dataset(MmfDataset):
         sample = Sample()
 
         if "question_tokens" in info:
-            arg = {"tokens": info["question_tokens"],
-                   "text": info.get("question_str", "")}
+            # only pass "text" when it is non-empty: processors prefer
+            # "text" over "tokens", so an empty question_str would
+            # silently tokenize an empty question
+            arg = {"tokens": info["question_tokens"]}
+            if info.get("question_str"):
+                arg["text"] = info["question_str"]
         else:
             arg = {"text": info["question"]}
         processed = self.text_processor(arg)

@@ -98,11 +98,19 @@ class CocoDetection:
         self.return_masks = return_masks
         self.images = {im["id"]: im for im in data["images"]}
         self.image_ids = sorted(self.images)
+        # training targets drop crowds (ConvertCocoPolysToMask,
+        # DETR/datasets/coco.py:62) — but the EVALUATOR must still see
+        # them as ignore regions (pycocotools crowd semantics), so
+        # crowds are kept in a parallel channel (eval_annotations)
         self.anns_by_image: Dict[int, List[Dict]] = {
+            i: [] for i in self.image_ids}
+        self.crowd_anns_by_image: Dict[int, List[Dict]] = {
             i: [] for i in self.image_ids}
         for ann in data["annotations"]:
             if ann.get("iscrowd", 0):
-                continue  # DETR drops crowd annotations
+                self.crowd_anns_by_image.setdefault(
+                    ann["image_id"], []).append(ann)
+                continue
             self.anns_by_image.setdefault(ann["image_id"], []).append(ann)
         self.categories = {c["id"]: c["name"]
                            for c in data.get("categories", [])}
@@ -156,3 +164,28 @@ class CocoDetection:
                      else np.zeros((0, h, w), np.uint8))
             out["masks"] = masks[keep]
         return out
+
+
+def eval_ground_truths(dataset: "CocoDetection", image_id: int
+                       ) -> List[Dict]:
+    """The evaluator-side GT list for one image: non-crowd AND crowd
+    annotations (pycocotools evaluates against the full GT; crowds act
+    as ignore regions in harness/coco_eval).  Each entry carries
+    ``category_id``, ``iscrowd``, ``area``, ``bbox`` (xywh) and the
+    decoded ``mask`` when segmentation is present."""
+    info = dataset.images[image_id]
+    h, w = info["height"], info["width"]
+    out: List[Dict] = []
+    for ann in (dataset.anns_by_image.get(image_id, [])
+                + dataset.crowd_anns_by_image.get(image_id, [])):
+        entry = {
+            "category_id": ann["category_id"],
+            "iscrowd": int(ann.get("iscrowd", 0)),
+            "area": float(ann.get("area",
+                                  ann["bbox"][2] * ann["bbox"][3])),
+            "bbox": list(ann["bbox"]),
+        }
+        if "segmentation" in ann:
+            entry["mask"] = annotation_to_mask(ann, h, w)
+        out.append(entry)
+    return out

@@ -220,7 +220,11 @@ def generate(method: str, params, image, target_queries, target_classes,
             f"{sorted(DETR_METHODS)}")
     images, oh, masks = _batched_targets(image, target_queries,
                                          target_classes, cfg, pad_valid)
-    _, attn, grads = detr_model.capture(params, images, oh, masks, cfg)
+    if method != "partial_lrp":
+        # partial_lrp consumes relprop cams only — skip the K-batched
+        # fwd+bwd capture its attn/grads would otherwise cost
+        _, attn, grads = detr_model.capture(params, images, oh, masks,
+                                            cfg)
     if method == "raw_attn":
         return generate_raw_attn(attn, target_queries)
     if method == "attn_gradcam":

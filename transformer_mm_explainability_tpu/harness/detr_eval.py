@@ -71,16 +71,22 @@ def evaluate(
         pred_masks = np.asarray(jax.image.resize(
             jnp.asarray(pred_masks), (pred_masks.shape[0], H, W),
             method="nearest"))[k]
-        gt_masks = target.get("masks", np.zeros((0, H, W), np.uint8))
-        gts = [{"category_id": int(c), "mask": m,
-                "iscrowd": int(cr), "area": float(a)}
-               for c, m, cr, a in zip(target["labels"], gt_masks,
-                                      target.get("iscrowd",
-                                                 np.zeros(len(gt_masks))),
-                                      target.get("area",
-                                                 gt_masks.reshape(
-                                                     len(gt_masks), -1)
-                                                 .sum(-1)))]
+        # evaluator-side GT: non-crowd AND crowd annotations (the
+        # training target() drops crowds per the reference loader, but
+        # pycocotools scores against the full GT — crowds become
+        # ignore regions in CocoEval)
+        from transformer_mm_explainability_tpu.data.coco import (
+            eval_ground_truths)
+        gts = []
+        for entry in eval_ground_truths(dataset, image_id):
+            gt = {"category_id": int(entry["category_id"]),
+                  "iscrowd": entry["iscrowd"],
+                  "area": float(entry["area"])}
+            if "mask" in entry:
+                gt["mask"] = entry["mask"]
+            else:
+                gt["mask"] = np.zeros((H, W), np.uint8)
+            gts.append(gt)
         dts = [{"category_id": int(c), "score": float(s), "mask": m}
                for c, s, m in zip(out["classes"][k], out["scores"][k],
                                   pred_masks)]

@@ -36,6 +36,12 @@ class SegmConfig:
     # (mask_generator.py:50-51) — the cap exists only for static shapes
     max_detections: int = 100
     method: str = "ours_no_lrp"
+    # pad K to the smallest bucket ≥ the kept count instead of always
+    # max_detections: typical images keep 2-10 queries, so explaining
+    # a fixed 100-replicated batch would cost ~10× the fwd+bwd and
+    # blow the attention-tap memory; the bucket ladder bounds the
+    # number of compiled shapes
+    k_buckets: Tuple[int, ...] = (4, 8, 16, 32, 64, 100)
 
 
 def keep_detections(pred_logits: np.ndarray, threshold: float,
@@ -83,6 +89,13 @@ def explain_image(
     logits = np.asarray(out["pred_logits"][0])
     q, c, valid = keep_detections(
         logits, segm_cfg.confidence_threshold, segm_cfg.max_detections)
+    n_kept = int(valid.sum())
+    buckets = [b for b in segm_cfg.k_buckets
+               if b <= segm_cfg.max_detections] or [
+                   segm_cfg.max_detections]
+    k_pad = next((b for b in sorted(buckets) if b >= n_kept),
+                 segm_cfg.max_detections)
+    q, c, valid = q[:k_pad], c[:k_pad], valid[:k_pad]
 
     rel = expl_detr.generate(segm_cfg.method, params, image,
                              jnp.asarray(q), jnp.asarray(c), cfg, pad_valid)

@@ -249,3 +249,14 @@ def pq_compute(
         "Stuff": agg(lambda c: not c["isthing"]),
         "per_class": per_class,
     }
+
+
+def to_pq_format(result: Dict[str, object]) -> Tuple[np.ndarray, List[dict]]:
+    """Adapt a ``post_process_panoptic`` result (segment ids 0-based,
+    -1 = no segment — the reference PostProcessPanoptic convention) to
+    the panopticapi convention ``pq_compute`` consumes (id 0 = VOID,
+    segments 1-based).  Without this shift, segment 0 would be read as
+    VOID and silently corrupt IoU unions and the FP-suppression rule."""
+    id_map = np.asarray(result["id_map"], np.int64) + 1
+    segments = [dict(s, id=s["id"] + 1) for s in result["segments_info"]]
+    return id_map, segments

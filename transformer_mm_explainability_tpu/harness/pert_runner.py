@@ -321,6 +321,10 @@ def run_loop(runner, samples: Iterable, max_samples: int,
                     + " ".join(f"{a*100:.2f}" for a in running))
 
     for sample in samples:
+        # never admit more than max_samples into the protocol — the
+        # reference's loop is exact on --num-samples
+        if n + len(buf) >= max_samples:
+            break
         buf.append(sample)
         if len(buf) == batch_size:
             flush()

@@ -143,6 +143,37 @@ int parse_row(const char* p, const char* end, Record* rec,
 
 }  // namespace
 
+
+namespace {
+// Pick the majority feature dim across parsed rows and keep only rows
+// of that dim (warning on stderr about drops). Guards against "first
+// valid row poisoning": a corrupt/truncated first row whose payload
+// happens to divide num_boxes would otherwise set feat_dim wrong and
+// silently drop every genuine row.
+void finalize_rows(std::vector<std::pair<int, Record>>* rows,
+                   int64_t topk, Store* store) {
+  std::map<int, size_t> dim_counts;
+  for (const auto& pr : *rows)
+    if (pr.first > 0) dim_counts[pr.first]++;
+  int best_dim = 0;
+  size_t best_n = 0;
+  for (const auto& kv : dim_counts)
+    if (kv.second > best_n) { best_n = kv.second; best_dim = kv.first; }
+  store->feat_dim = best_dim;
+  size_t dropped = 0;
+  for (auto& pr : *rows) {
+    if (topk >= 0 && (int64_t)store->records.size() >= topk) break;
+    if (pr.first != best_dim) { if (pr.first > 0) dropped++; continue; }
+    store->records.push_back(std::move(pr.second));
+  }
+  if (dropped) {
+    std::fprintf(stderr,
+                 "[tsv_reader] warning: dropped %zu rows whose feature "
+                 "dim != majority dim %d\n", dropped, best_dim);
+  }
+}
+}  // namespace
+
 // Parse the file; returns a handle (>= 0) or -1 on failure.
 // topk < 0 → everything.
 int64_t tsv_open(const char* path, int64_t topk) {
@@ -151,16 +182,15 @@ int64_t tsv_open(const char* path, int64_t topk) {
   auto store = std::make_unique<Store>();
   std::string line;
   std::vector<uint8_t> scratch;
+  std::vector<std::pair<int, Record>> rows;
   while (std::getline(f, line)) {
-    if (topk >= 0 && (int64_t)store->records.size() >= topk) break;
     Record rec;
     const char* p = line.c_str();
     const int d = parse_row(p, p + line.size(), &rec, scratch);
     if (d < 0) continue;
-    if (store->feat_dim == 0) store->feat_dim = d;
-    if (d != store->feat_dim) continue;  // mixed dims: keep the first
-    store->records.push_back(std::move(rec));
+    rows.emplace_back(d, std::move(rec));
   }
+  finalize_rows(&rows, topk, store.get());
   g_stores.push_back(store.release());
   return (int64_t)g_stores.size() - 1;
 }
@@ -235,13 +265,11 @@ int64_t tsv_open_mt(const char* path, int64_t topk, int n_threads) {
   for (auto& w : workers) w.join();
 
   auto store = std::make_unique<Store>();
-  for (size_t i = 0; i < n_rows; ++i) {
-    if (topk >= 0 && (int64_t)store->records.size() >= topk) break;
-    if (slots[i].dim < 0) continue;
-    if (store->feat_dim == 0) store->feat_dim = slots[i].dim;
-    if (slots[i].dim != store->feat_dim) continue;
-    store->records.push_back(std::move(slots[i].rec));
-  }
+  std::vector<std::pair<int, Record>> parsed;
+  parsed.reserve(n_rows);
+  for (size_t i = 0; i < n_rows; ++i)
+    parsed.emplace_back(slots[i].dim, std::move(slots[i].rec));
+  finalize_rows(&parsed, topk, store.get());
   g_stores.push_back(store.release());
   return (int64_t)g_stores.size() - 1;
 }

@@ -156,7 +156,13 @@ class LxmertTaskTrainer:
         log: Dict[str, List[float]] = {"loss": [], "train_acc": [],
                                        "valid_acc": []}
         for epoch in range(self.ft.epochs):
-            loss, train_acc = self.train_epoch(train_batches_fn(), printer)
+            # reshuffle per epoch like the reference's
+            # DataLoader(shuffle=True) — the fn may take the epoch
+            try:
+                batches = train_batches_fn(epoch)
+            except TypeError:
+                batches = train_batches_fn()
+            loss, train_acc = self.train_epoch(batches, printer)
             line = f"Epoch {epoch}: Train {train_acc * 100:.2f}"
             log["loss"].append(loss)
             log["train_acc"].append(train_acc)
@@ -257,9 +263,10 @@ def run_from_args(args) -> int:
         else _load_params(args.checkpoint, ft, len(vocab)),
         seed=args.seed)
 
-    def train_batches():
+    def train_batches(epoch: int = 0):
         return make_batches(train_set, feats, tok, vocab, ft,
-                            shuffle_seed=args.seed, drop_last=True)
+                            shuffle_seed=args.seed + epoch,
+                            drop_last=True)
 
     valid_batches = (None if valid_set is None else
                      (lambda: make_batches(valid_set, feats, tok, vocab,
@@ -451,7 +458,11 @@ class Nlvr2TaskTrainer:
         log: Dict[str, List[float]] = {"loss": [], "train_acc": [],
                                        "valid_acc": []}
         for epoch in range(self.ft.epochs):
-            loss, train_acc = self.train_epoch(train_batches_fn())
+            try:
+                batches = train_batches_fn(epoch)
+            except TypeError:
+                batches = train_batches_fn()
+            loss, train_acc = self.train_epoch(batches)
             line = f"Epoch {epoch}: Train {train_acc * 100:.2f}"
             log["loss"].append(loss)
             log["train_acc"].append(train_acc)
@@ -528,9 +539,10 @@ def _run_nlvr2(args, ft: FinetuneConfig, vqa_data, BertTokenizer) -> int:
         ft, batches_per_epoch=max(n_train // ft.batch_size, 1),
         seed=args.seed)
 
-    def train_batches():
+    def train_batches(epoch: int = 0):
         return make_nlvr2_batches(train_set, feats, tok, ft,
-                                  shuffle_seed=args.seed, drop_last=True)
+                                  shuffle_seed=args.seed + epoch,
+                                  drop_last=True)
 
     valid_batches = (None if valid_set is None else
                      (lambda: make_nlvr2_batches(valid_set, feats, tok,
