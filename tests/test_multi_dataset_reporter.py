@@ -83,3 +83,14 @@ def test_test_reporter_json_and_csv(tmp_path):
 
     with pytest.raises(ValueError):
         TestReporter(["x"], str(tmp_path)).add_to_report({"id": []})
+
+
+def test_empty_dataset_does_not_hang():
+    """Regression: a zero-length dataset gets probability 0, never
+    finishes, and used to spin _choose forever — it must be dropped."""
+    mdl = MultiDatasetLoader({"a": _loader("a", 4), "b": _loader("b", 0)},
+                             lengths={"a": 4, "b": 0}, seed=1)
+    assert mdl.names == ["a"]
+    assert len(list(mdl)) == 2
+    with pytest.raises(AssertionError):
+        MultiDatasetLoader({"b": _loader("b", 0)}, lengths={"b": 0})

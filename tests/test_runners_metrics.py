@@ -126,3 +126,12 @@ def test_visual_bert_batched_matches_per_sample():
         want = runner.run_sample(single, soft[i])
         np.testing.assert_allclose(got[i], want, atol=1e-6,
                                    err_msg=f"sample {i}")
+
+
+def test_accuracy_singleton_target_column():
+    """Regression: [B, 1] class-index targets must not broadcast into
+    a [B, B] comparison (accuracy > 1)."""
+    scores = jnp.asarray([[0.1, 2.0], [5.0, 0.0], [0.0, 3.0]])
+    t = jnp.asarray([[1], [0], [0]])
+    got = float(metrics.compute("accuracy", scores, t))
+    assert got == pytest.approx(2 / 3)

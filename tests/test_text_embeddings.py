@@ -36,10 +36,11 @@ def test_multi_head_image_embedding_parity():
               "b": jnp.asarray(sd["in_proj_bias"][2 * D:].numpy())},
         "out": {"w": jnp.asarray(sd["out_proj.weight"].numpy()),
                 "b": jnp.asarray(sd["out_proj.bias"].numpy())},
-        "num_heads": H,
     }
-    got_out, got_w = L.multi_head_image_feature_embedding_fwd(
-        p, jnp.asarray(img), jnp.asarray(q))
+    import jax as _jax
+    got_out, got_w = _jax.jit(
+        lambda p, i, q: L.multi_head_image_feature_embedding_fwd(
+            p, i, q, num_heads=H))(p, jnp.asarray(img), jnp.asarray(q))
     np.testing.assert_allclose(np.asarray(got_out), want_out, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_w),
                                want_w.detach().numpy(), atol=2e-5)

@@ -53,8 +53,12 @@ def accuracy(sample_list: SampleDict, model_output: SampleDict
     expected = sample_list["targets"]
     if output.ndim == 2:
         output = output.argmax(1)
-    if expected.ndim == 2 and expected.shape[-1] != 1:
-        expected = expected.argmax(1)
+    if expected.ndim == 2:
+        # class indices in a trailing singleton stay indices; anything
+        # wider is (soft) one-hot — argmax.  Squeeze either way so the
+        # comparison below is [B] == [B], never a [B, B] broadcast
+        expected = (expected[:, 0] if expected.shape[-1] == 1
+                    else expected.argmax(1))
     return (expected == jnp.squeeze(output)).sum() / expected.shape[0]
 
 

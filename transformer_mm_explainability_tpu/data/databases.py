@@ -185,11 +185,17 @@ class FeatureReader:
     go to the LMDB reader, npy files to the padded FRCNN reader (or raw
     when max_features is None)."""
 
+    DEFAULT_MAX_FEATURES = 100
+
     def __init__(self, base_path: str, max_features: Optional[int] = 100):
         self.base_path = base_path
         self.max_features = max_features
         if base_path.endswith(".lmdb"):
-            self._reader = LmdbFeatureReader(max_features, base_path)
+            # the LMDB reader always pads, so it needs a concrete cap
+            # (the reference's feature_readers default); max_features
+            # None would crash np.zeros((None, dim)) at read time
+            self._reader = LmdbFeatureReader(
+                max_features or self.DEFAULT_MAX_FEATURES, base_path)
         elif max_features is None:
             self._reader = None  # raw npy
         else:
@@ -202,8 +208,6 @@ class FeatureReader:
                 else os.path.join(self.base_path, feat_path))
         if self._reader is None:
             return load_feat(full), None
-        if self.base_path.endswith(".lmdb"):
-            return self._reader.read(full)
         return self._reader.read(full)
 
 

@@ -43,8 +43,13 @@ def crop(image: np.ndarray, target: Target,
         return cropped, None
     target = dict(target)
     target["size"] = np.array([h, w])
+    # fixed field list like the reference (transforms.py:25): "area" is
+    # (re)created below, so it must be keep-filtered even when the
+    # incoming target lacked it
     fields = [f for f in ("labels", "area", "iscrowd") if f in target]
     if "boxes" in target:
+        if "area" not in fields:
+            fields.append("area")
         boxes = np.asarray(target["boxes"], np.float32)
         cropped_boxes = boxes - np.array([j, i, j, i], np.float32)
         cropped_boxes = np.minimum(

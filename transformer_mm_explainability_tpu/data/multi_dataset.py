@@ -34,6 +34,13 @@ class MultiDatasetLoader:
                  proportional_sampling: bool = True,
                  dataset_type: str = "train", seed: int = 0):
         assert loaders, "MultiDatasetLoader needs at least one loader"
+        # drop empty datasets: a zero-probability dataset can never be
+        # chosen, so it would never finish and _choose would spin
+        # forever once every other dataset is exhausted
+        if lengths:
+            loaders = {n: l for n, l in loaders.items()
+                       if lengths.get(n, 1) > 0}
+            assert loaders, "every dataset is empty"
         self.names = list(loaders)
         self.loaders = loaders
         self.dataset_type = dataset_type

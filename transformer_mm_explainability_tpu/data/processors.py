@@ -116,6 +116,11 @@ class VQAAnswerProcessor:
     def get_vocab_size(self) -> int:
         return self.answer_vocab.num_vocab
 
+    def get_true_vocab_size(self) -> int:
+        """processors.py:614-616: same as get_vocab_size here; the
+        soft-copy subclass widens get_vocab_size but not this."""
+        return self.answer_vocab.num_vocab
+
     def word2idx(self, word: str) -> int:
         return self.answer_vocab.word2idx(word)
 
@@ -409,7 +414,12 @@ class Processor:
         return self.processor(item, *args, **kwargs)
 
     def __getattr__(self, name):
-        return getattr(self.processor, name)
+        # guard via __dict__ like the MMF original (processors.py:166-
+        # 170): during deepcopy/unpickle 'processor' may not exist yet,
+        # and an unguarded lookup would recurse infinitely
+        if "processor" in self.__dict__:
+            return getattr(self.__dict__["processor"], name)
+        raise AttributeError(name)
 
 
 @registry.register_processor("vocab")

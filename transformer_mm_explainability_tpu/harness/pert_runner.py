@@ -331,7 +331,14 @@ def run_loop(runner, samples: Iterable, max_samples: int,
         if n >= max_samples:
             break
     flush()
-    running = totals / max(n, 1)
+    if totals is None:
+        # zero usable samples (e.g. every img_id missing from the
+        # features store) — report that instead of crashing
+        import numpy as _np
+
+        running = _np.zeros((len(runner.steps),), _np.float64)
+    else:
+        running = totals / max(n, 1)
     printer(json.dumps({
         "num_samples": n,
         "steps": list(runner.steps),

@@ -68,10 +68,27 @@ class MMBTGridHMInterface:
     def _fwd(self, params, image, input_ids, input_mask, segment_ids,
              *, cfg):
         grid = self.image_encoder.apply(params["image_encoder"], image)
+        # MMBTBase.forward (mmbt.py:375-381): the modal stream is
+        # wrapped in the text [CLS]/[SEP] embeddings; with an end
+        # token the text side drops its leading [CLS]
+        # (extract_modal_end_token, mmbt.py:338-363)
+        modal_start = modal_end = None
+        if cfg.use_modal_start_token:
+            modal_start = input_ids[:, 0]
+        if cfg.use_modal_end_token:
+            gather = (input_mask.sum(axis=1) - 1)[:, None]
+            modal_end = jnp.take_along_axis(input_ids, gather,
+                                            axis=1)[:, 0]
+            input_ids = jnp.concatenate(
+                [input_ids[:, 1:], input_ids[:, -1:]], axis=1)
+            input_mask = jnp.concatenate(
+                [input_mask[:, 1:],
+                 jnp.zeros_like(input_mask[:, :1])], axis=1)
         scores = jmmbt.mmbt_for_classification(
             params["mmbt"], cfg,
             input_modal=grid, input_ids=input_ids,
-            attention_mask=input_mask, token_type_ids=segment_ids)
+            attention_mask=input_mask, token_type_ids=segment_ids,
+            modal_start_token=modal_start, modal_end_token=modal_end)
         return jax.nn.softmax(scores, axis=1)
 
     def classify(self, image: Union[str, np.ndarray], text: str

@@ -894,22 +894,24 @@ def init_multi_head_image_feature_embedding(
         return jax.random.uniform(k, shape, dtype, -bound, bound)
 
     D, E = question_dim, img_dim
+    # static config (num_heads) stays OUT of the params pytree so the
+    # tree jits/maps as plain weights — pass it to the fwd instead
     return {
         "q": {"w": xavier(ks[0], (D, D)), "b": jnp.zeros((D,), dtype)},
         "k": {"w": xavier(ks[1], (D, E)), "b": jnp.zeros((D,), dtype)},
         "v": {"w": xavier(ks[2], (D, E)), "b": jnp.zeros((D,), dtype)},
         "out": {"w": xavier(ks[3], (D, D)), "b": jnp.zeros((D,), dtype)},
-        "num_heads": num_heads,
     }
 
 
 def multi_head_image_feature_embedding_fwd(
-        p: Params, image_feat: jnp.ndarray, question: jnp.ndarray
-        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        p: Params, image_feat: jnp.ndarray, question: jnp.ndarray,
+        num_heads: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """question [B, D] attends over image_feat [B, N, E] →
     (context [B, D], averaged attention weights [B, 1, N]) — the
-    torch MHA convention of head-averaged weights."""
-    H = int(p["num_heads"])
+    torch MHA convention of head-averaged weights.  ``num_heads`` is
+    static config, not a pytree leaf."""
+    H = num_heads
     B, N, _ = image_feat.shape
     D = p["q"]["w"].shape[0]
     dh = D // H

@@ -183,12 +183,17 @@ int64_t tsv_open(const char* path, int64_t topk) {
   std::string line;
   std::vector<uint8_t> scratch;
   std::vector<std::pair<int, Record>> rows;
+  std::map<int, int64_t> dim_seen;
   while (std::getline(f, line)) {
     Record rec;
     const char* p = line.c_str();
     const int d = parse_row(p, p + line.size(), &rec, scratch);
     if (d < 0) continue;
     rows.emplace_back(d, std::move(rec));
+    // topk early-exit: stop as soon as SOME dim has topk rows — that
+    // dim wins finalize_rows' majority vote, and a poisoned first row
+    // (one stray dim) cannot reach topk first for topk > 1
+    if (topk >= 0 && ++dim_seen[d] >= topk) break;
   }
   finalize_rows(&rows, topk, store.get());
   g_stores.push_back(store.release());
