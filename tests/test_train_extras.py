@@ -133,3 +133,30 @@ def test_process_answers_vocab(tmp_path):
     assert words[0] == "<unk>"
     assert "2 dogs" in " ".join(words)  # EvalAI-normalized
     assert "cat" in words  # "a" article stripped
+
+
+def test_set_criterion_pad_rows_do_not_clobber_query_zero():
+    """Regression: pad targets (assignment -1) used to scatter class C
+    at query 0, nondeterministically overwriting a real assignment to
+    query 0 (JAX duplicate-scatter order is unspecified)."""
+    from transformer_mm_explainability_tpu.models import matcher
+
+    B, Q, C = 1, 4, 5
+    rs = np.random.RandomState(0)
+    logits = jnp.asarray(rs.randn(B, Q, C + 1).astype(np.float32))
+    boxes = jnp.asarray(rs.rand(B, Q, 4).astype(np.float32))
+    # one real target assigned to QUERY 0, one pad row
+    assignment = jnp.asarray([[0, -1]])
+    tgt_labels = jnp.asarray([[2, 0]])
+    tgt_boxes = jnp.asarray(rs.rand(B, 2, 4).astype(np.float32))
+    losses = matcher.set_criterion_losses(
+        logits, boxes, tgt_labels, tgt_boxes, assignment)
+    # recompute CE by hand with query 0 = class 2, rest no-object
+    tc = np.full((B, Q), C)
+    tc[0, 0] = 2
+    logp = np.asarray(jax.nn.log_softmax(logits, -1))
+    w = np.where(tc == C, 0.1, 1.0)
+    ce = -np.take_along_axis(logp, tc[..., None], -1)[..., 0]
+    want = (ce * w).sum() / w.sum()
+    assert float(losses["loss_ce"]) == pytest.approx(float(want),
+                                                     rel=1e-5)

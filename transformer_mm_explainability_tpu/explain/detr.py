@@ -161,8 +161,13 @@ def _relprop_cams(params, images, oh, masks, cfg, image_shape,
              [:, :Hf, :Wf].astype(jnp.float32))
     pos = detr_model.sine_position_encoding(valid, cfg.d_model // 2)
     pos = pos.reshape(Kb, Hf * Wf, cfg.d_model)
+    # same key-padding bias as the captured forward — the relprop tape
+    # must come from the SAME program the gradients came from
+    bias = (None if pad_valid is None else
+            ((1.0 - valid.reshape(Kb, Hf * Wf)) * -1e9)
+            [:, None, None, :])
     hs, _, _, tape = detr_model.transformer_forward(
-        params, src, pos, None, cfg,
+        params, src, pos, bias, cfg,
         detr_model.zero_taps(cfg, Kb, Hf * Wf), return_tape=True)
     _, cams = detr_lrp.relprop(params, tape, hs, oh, cfg)
     return cams

@@ -92,12 +92,17 @@ def set_criterion_losses(
     valid = assignment >= 0
     n_boxes = jnp.maximum(valid.sum(), 1)
 
-    # classification: all queries default to no-object class C
+    # classification: all queries default to no-object class C.  Pad
+    # rows (assignment == -1) must not scatter at all — clipping them
+    # to query 0 would collide with a real assignment to query 0 and
+    # JAX leaves duplicate-index scatter order unspecified.  Route
+    # them out of bounds and drop.
     target_classes = jnp.full((B, Q), C, jnp.int32)
-    q_idx = jnp.clip(assignment, 0)
+    q_idx = jnp.where(valid, jnp.clip(assignment, 0), Q)
     target_classes = jax.vmap(
-        lambda tc, qi, lbl, v: tc.at[qi].set(jnp.where(v, lbl, C).astype(jnp.int32))
-    )(target_classes, q_idx, tgt_labels, valid)
+        lambda tc, qi, lbl: tc.at[qi].set(lbl.astype(jnp.int32),
+                                          mode="drop")
+    )(target_classes, q_idx, tgt_labels)
     weights = jnp.where(target_classes == C, eos_coef, 1.0)
     logp = jax.nn.log_softmax(pred_logits, -1)
     ce = -jnp.take_along_axis(logp, target_classes[..., None], -1)[..., 0]

@@ -98,11 +98,16 @@ class Sweep:
                 json.dump(combo, f)
             self.snapshot_code(run_dir)
             cmd = self.command_for(combo, run_dir)
+            log = shlex.quote(os.path.join(run_dir, "run.log"))
             if backend == "local":
                 outputs.append(cmd)
                 if not dry_run:
-                    full = (f"echo {SENTINEL_STARTED}; ({cmd}) && "
-                            f"echo {SENTINEL_FINISHED} || echo {SENTINEL_FAILED}")
+                    # sentinels must land in run.log (what state()
+                    # scans), not only the launcher's stdout
+                    full = (f"echo {SENTINEL_STARTED} | tee -a {log}; "
+                            f"({cmd}) && "
+                            f"echo {SENTINEL_FINISHED} | tee -a {log} "
+                            f"|| echo {SENTINEL_FAILED} | tee -a {log}")
                     subprocess.call(["bash", "-c", full])
             elif backend == "slurm":
                 script = os.path.join(run_dir, "job.sbatch")
@@ -113,10 +118,10 @@ class Sweep:
                     f.write(f"#SBATCH --output={run_dir}/slurm.%j.out\n")
                     if requeue:
                         f.write("#SBATCH --requeue\n#SBATCH --open-mode=append\n")
-                    f.write(f"echo {SENTINEL_STARTED}\n")
+                    f.write(f"echo {SENTINEL_STARTED} | tee -a {log}\n")
                     f.write(f"srun bash -c {shlex.quote(cmd)} && "
-                            f"echo {SENTINEL_FINISHED} || "
-                            f"echo {SENTINEL_FAILED}\n")
+                            f"echo {SENTINEL_FINISHED} | tee -a {log} "
+                            f"|| echo {SENTINEL_FAILED} | tee -a {log}\n")
                 outputs.append(script)
                 if not dry_run:
                     subprocess.call(["sbatch", script])
