@@ -191,3 +191,27 @@ def test_eval_ground_truths_include_crowds(tmp_path):
     assert crowd_flags == [0, 1]           # eval view: crowd present
     crowd = [g for g in gts if g["iscrowd"]][0]
     assert crowd["category_id"] == 7
+
+
+def test_sweep_failed_command_reports_failed(tmp_path):
+    """Regression: tee at the end of the run pipeline masked the
+    command's exit status — a failing command was recorded FINISHED."""
+    from transformer_mm_explainability_tpu.tools.sweep import Param, Sweep
+
+    ok = Sweep("ok", "true", [Param("x", [1])], sweep_root=str(tmp_path))
+    ok.launch(backend="local")
+    assert ok.state({"x": 1}) == "finished"
+
+    bad = Sweep("bad", "false", [Param("x", [1])],
+                sweep_root=str(tmp_path))
+    bad.launch(backend="local")
+    assert bad.state({"x": 1}) == "failed"
+
+    # sbatch script keeps #SBATCH directives first, pipefail after
+    scripts = Sweep("sl", "true", [Param("x", [1])],
+                    sweep_root=str(tmp_path)).launch(
+        backend="slurm", dry_run=True)
+    lines = open(scripts[0]).read().splitlines()
+    assert lines[0] == "#!/bin/bash"
+    assert lines[1].startswith("#SBATCH")
+    assert "set -o pipefail" in lines

@@ -94,3 +94,13 @@ def test_empty_dataset_does_not_hang():
     assert len(list(mdl)) == 2
     with pytest.raises(AssertionError):
         MultiDatasetLoader({"b": _loader("b", 0)}, lengths={"b": 0})
+
+
+def test_partial_lengths_dict():
+    """Regression: a partial lengths dict crashed __init__ (filter used
+    .get default 1, probabilities used direct indexing)."""
+    mdl = MultiDatasetLoader({"a": _loader("a", 4), "b": _loader("b", 2)},
+                             lengths={"a": 4}, seed=0)
+    assert mdl.probabilities == pytest.approx([4 / 5, 1 / 5])
+    names = [n for n, _ in mdl]
+    assert sorted(set(names)) == ["a", "b"]

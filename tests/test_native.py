@@ -302,3 +302,31 @@ def test_tsv_majority_dim_beats_poisoned_first_row(tmp_path):
     assert len(rows) == 3
     assert all(r["features"].shape == (4, 16) for r in rows)
     assert rows[0]["img_id"] == "img0"
+
+
+def test_tsv_topk_corrupt_prefix_within_slack(tmp_path):
+    """topk early-exit slack: a short corrupt prefix (< slack window)
+    must not win the vote even when it reaches topk rows first."""
+    import base64
+
+    def row(img_id, n, dim):
+        ids = base64.b64encode(
+            np.arange(n, dtype=np.int64).tobytes()).decode()
+        conf = base64.b64encode(
+            np.ones(n, np.float32).tobytes()).decode()
+        boxes = base64.b64encode(
+            np.ones((n, 4), np.float32).tobytes()).decode()
+        feats = base64.b64encode(
+            np.full((n, dim), 2.0, np.float32).tobytes()).decode()
+        return "\t".join([img_id, "10", "20", ids, conf, ids, conf,
+                          str(n), boxes, feats])
+
+    path = tmp_path / "prefix.tsv"
+    corrupt = [row(f"bad{i}", 4, 8) for i in range(3)]
+    genuine = [row(f"img{i}", 4, 16) for i in range(80)]
+    path.write_text("\n".join(corrupt + genuine) + "\n")
+    from transformer_mm_explainability_tpu.native import tsv
+
+    rows = tsv.load_obj_tsv(str(path), topk=2)
+    assert len(rows) == 2
+    assert all(r["features"].shape == (4, 16) for r in rows)

@@ -49,8 +49,11 @@ class MultiDatasetLoader:
         self.proportional = (proportional_sampling
                              or dataset_type != "train")
         if lengths and self.proportional:
-            total = float(sum(lengths[n] for n in self.names))
-            self.probabilities = [lengths[n] / total for n in self.names]
+            # same default as the emptiness filter above: names missing
+            # from a partial lengths dict count as length 1
+            total = float(sum(lengths.get(n, 1) for n in self.names))
+            self.probabilities = [lengths.get(n, 1) / total
+                                  for n in self.names]
         else:
             self.probabilities = [1.0 / len(self.names)] * len(self.names)
         self.rng = np.random.RandomState(seed)

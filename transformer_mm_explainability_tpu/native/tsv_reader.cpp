@@ -183,17 +183,24 @@ int64_t tsv_open(const char* path, int64_t topk) {
   std::string line;
   std::vector<uint8_t> scratch;
   std::vector<std::pair<int, Record>> rows;
-  std::map<int, int64_t> dim_seen;
+  std::map<int, int64_t> dim_seen;  // dim -> parsed rows
   while (std::getline(f, line)) {
     Record rec;
     const char* p = line.c_str();
     const int d = parse_row(p, p + line.size(), &rec, scratch);
     if (d < 0) continue;
     rows.emplace_back(d, std::move(rec));
-    // topk early-exit: stop as soon as SOME dim has topk rows — that
-    // dim wins finalize_rows' majority vote, and a poisoned first row
-    // (one stray dim) cannot reach topk first for topk > 1
-    if (topk >= 0 && ++dim_seen[d] >= topk) break;
+    // topk early-exit with a slack window: only stop once we have
+    // scanned enough extra rows that a short corrupt prefix cannot
+    // win the majority vote (a corrupt block longer than the slack
+    // can still win — bounded scans cannot rule that out; the full
+    // scan without topk is immune).
+    ++dim_seen[d];
+    if (topk >= 0 && (int64_t)rows.size() >= topk + 64) {
+      int64_t lead = 0;
+      for (const auto& kv : dim_seen) lead = std::max(lead, kv.second);
+      if (lead >= topk) break;
+    }
   }
   finalize_rows(&rows, topk, store.get());
   g_stores.push_back(store.release());

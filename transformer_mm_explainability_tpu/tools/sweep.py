@@ -104,7 +104,10 @@ class Sweep:
                 if not dry_run:
                     # sentinels must land in run.log (what state()
                     # scans), not only the launcher's stdout
-                    full = (f"echo {SENTINEL_STARTED} | tee -a {log}; "
+                    # pipefail: command_for pipes through tee, whose
+                    # exit status would otherwise mask the command's
+                    full = (f"set -o pipefail; "
+                            f"echo {SENTINEL_STARTED} | tee -a {log}; "
                             f"({cmd}) && "
                             f"echo {SENTINEL_FINISHED} | tee -a {log} "
                             f"|| echo {SENTINEL_FAILED} | tee -a {log}")
@@ -118,8 +121,12 @@ class Sweep:
                     f.write(f"#SBATCH --output={run_dir}/slurm.%j.out\n")
                     if requeue:
                         f.write("#SBATCH --requeue\n#SBATCH --open-mode=append\n")
+                    f.write("set -o pipefail\n")
                     f.write(f"echo {SENTINEL_STARTED} | tee -a {log}\n")
-                    f.write(f"srun bash -c {shlex.quote(cmd)} && "
+                    # the inner bash -c is a fresh shell: it needs its
+                    # own pipefail for the tee pipeline inside cmd
+                    f.write(f"srun bash -c "
+                            f"{shlex.quote('set -o pipefail; ' + cmd)} && "
                             f"echo {SENTINEL_FINISHED} | tee -a {log} "
                             f"|| echo {SENTINEL_FAILED} | tee -a {log}\n")
                 outputs.append(script)

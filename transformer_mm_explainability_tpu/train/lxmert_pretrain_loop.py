@@ -185,9 +185,10 @@ def train(dataset, tokenizer, cfg: lx.LxmertConfig,
         order = rng.permutation(len(dataset))
         running: Dict[str, float] = {}
         count = 0
-        for start in range(0, len(order) - pt.batch_size + 1,
-                           pt.batch_size):
-            idxs = order[start:start + pt.batch_size]
+        bs = min(pt.batch_size, len(order))
+        assert bs > 0, "empty pretraining dataset"
+        for start in range(0, len(order) - bs + 1, bs):
+            idxs = order[start:start + bs]
             feats = [convert_example_to_features(
                 dataset[int(i)], pt.max_seq_length, tokenizer, rng,
                 dataset.random_feat, pt.word_mask_rate,

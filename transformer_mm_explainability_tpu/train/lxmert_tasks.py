@@ -157,11 +157,16 @@ class LxmertTaskTrainer:
                                        "valid_acc": []}
         for epoch in range(self.ft.epochs):
             # reshuffle per epoch like the reference's
-            # DataLoader(shuffle=True) — the fn may take the epoch
-            try:
-                batches = train_batches_fn(epoch)
-            except TypeError:
-                batches = train_batches_fn()
+            # DataLoader(shuffle=True) — the fn may take the epoch.
+            # Inspect the signature instead of probing with a call: a
+            # TypeError raised INSIDE the fn must not trigger a silent
+            # zero-arg retry (re-running side effects, epoch-0 shuffle)
+            import inspect
+
+            takes_epoch = bool(
+                inspect.signature(train_batches_fn).parameters)
+            batches = (train_batches_fn(epoch) if takes_epoch
+                       else train_batches_fn())
             loss, train_acc = self.train_epoch(batches, printer)
             line = f"Epoch {epoch}: Train {train_acc * 100:.2f}"
             log["loss"].append(loss)
@@ -458,10 +463,12 @@ class Nlvr2TaskTrainer:
         log: Dict[str, List[float]] = {"loss": [], "train_acc": [],
                                        "valid_acc": []}
         for epoch in range(self.ft.epochs):
-            try:
-                batches = train_batches_fn(epoch)
-            except TypeError:
-                batches = train_batches_fn()
+            import inspect
+
+            takes_epoch = bool(
+                inspect.signature(train_batches_fn).parameters)
+            batches = (train_batches_fn(epoch) if takes_epoch
+                       else train_batches_fn())
             loss, train_acc = self.train_epoch(batches)
             line = f"Epoch {epoch}: Train {train_acc * 100:.2f}"
             log["loss"].append(loss)
