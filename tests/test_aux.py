@@ -215,3 +215,60 @@ def test_sweep_failed_command_reports_failed(tmp_path):
     assert lines[0] == "#!/bin/bash"
     assert lines[1].startswith("#SBATCH")
     assert "set -o pipefail" in lines
+
+
+def test_coco_panoptic_dataset(tmp_path):
+    """CocoPanoptic (DETR/datasets/coco_panoptic.py): id-map PNG →
+    per-segment masks/labels/boxes; masks_to_boxes parity vs torch."""
+    import json as _json
+
+    from PIL import Image
+
+    from transformer_mm_explainability_tpu.data.coco import (
+        CocoPanoptic, rgb2id)
+
+    (tmp_path / "imgs").mkdir()
+    (tmp_path / "anns").mkdir()
+    # id map: segment 1 fills left half, segment 300 right-bottom cell
+    id_map = np.zeros((4, 6), np.int64)
+    id_map[:, :3] = 1
+    id_map[3, 5] = 300
+    rgb = np.stack([id_map % 256, (id_map // 256) % 256,
+                    np.zeros_like(id_map)], -1).astype(np.uint8)
+    Image.fromarray(rgb).save(tmp_path / "anns" / "0001.png")
+    Image.fromarray(np.zeros((4, 6, 3), np.uint8)).save(
+        tmp_path / "imgs" / "0001.jpg")
+    ann = {
+        "images": [{"id": 1, "file_name": "0001.png", "height": 4,
+                    "width": 6}],
+        "annotations": [{"image_id": 1, "file_name": "0001.png",
+                         "segments_info": [
+                             {"id": 1, "category_id": 7, "iscrowd": 0,
+                              "area": 12},
+                             {"id": 300, "category_id": 2, "iscrowd": 1,
+                              "area": 1}]}],
+    }
+    af = tmp_path / "panoptic.json"
+    af.write_text(_json.dumps(ann))
+    ds = CocoPanoptic(str(tmp_path / "imgs"), str(tmp_path / "anns"),
+                      str(af))
+    assert len(ds) == 1
+    assert ds.get_height_and_width(0) == (4, 6)
+    t = ds.target(0)
+    assert t["labels"].tolist() == [7, 2]
+    assert t["masks"].shape == (2, 4, 6)
+    assert t["masks"][0].sum() == 12 and t["masks"][1].sum() == 1
+    np.testing.assert_allclose(t["boxes"][0], [0, 0, 2, 3])
+    np.testing.assert_allclose(t["boxes"][1], [5, 3, 5, 3])
+    assert t["iscrowd"].tolist() == [0, 1]
+    assert rgb2id(rgb).max() == 300
+
+    # masks_to_boxes: empty mask → zeros
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.utils.box_ops import (
+        masks_to_boxes)
+
+    empty = jnp.zeros((1, 4, 6))
+    np.testing.assert_allclose(np.asarray(masks_to_boxes(empty)),
+                               [[0, 0, 0, 0]])

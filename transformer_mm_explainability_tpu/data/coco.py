@@ -189,3 +189,87 @@ def eval_ground_truths(dataset: "CocoDetection", image_id: int
             entry["mask"] = annotation_to_mask(ann, h, w)
         out.append(entry)
     return out
+
+
+def rgb2id(color: np.ndarray) -> np.ndarray:
+    """panopticapi.utils.rgb2id: RGB PNG channels → segment ids."""
+    color = np.asarray(color, np.int64)
+    return color[..., 0] + 256 * color[..., 1] + 256 * 256 * color[..., 2]
+
+
+class CocoPanoptic:
+    """DETR/datasets/coco_panoptic.py:15-77: panoptic annotation json +
+    id-map PNGs → per-image targets (binary masks per segment, labels,
+    boxes from mask support, iscrowd/area).  Images and annotations are
+    id-sorted and filename-aligned like the reference."""
+
+    def __init__(self, img_folder: str, ann_folder: str, ann_file: str,
+                 return_masks: bool = True):
+        with open(ann_file) as f:
+            self.coco = json.load(f)
+        self.coco["images"] = sorted(self.coco["images"],
+                                     key=lambda x: x["id"])
+        if "annotations" in self.coco:
+            for img, ann in zip(self.coco["images"],
+                                self.coco["annotations"]):
+                assert img["file_name"][:-4] == ann["file_name"][:-4]
+        self.img_folder = img_folder
+        self.ann_folder = ann_folder
+        self.return_masks = return_masks
+
+    def __len__(self) -> int:
+        return len(self.coco["images"])
+
+    def get_height_and_width(self, idx: int):
+        info = self.coco["images"][idx]
+        return info["height"], info["width"]
+
+    def load_image(self, idx: int) -> np.ndarray:
+        import os
+
+        from PIL import Image
+
+        ann_info = (self.coco["annotations"][idx]
+                    if "annotations" in self.coco
+                    else self.coco["images"][idx])
+        path = os.path.join(self.img_folder,
+                            ann_info["file_name"].replace(".png", ".jpg"))
+        return np.asarray(Image.open(path).convert("RGB"))
+
+    def target(self, idx: int) -> Dict[str, np.ndarray]:
+        import os
+
+        from PIL import Image
+
+        from transformer_mm_explainability_tpu.utils.box_ops import (
+            masks_to_boxes)
+
+        ann_info = (self.coco["annotations"][idx]
+                    if "annotations" in self.coco
+                    else self.coco["images"][idx])
+        h, w = self.get_height_and_width(idx)
+        target: Dict[str, np.ndarray] = {
+            "image_id": np.asarray(
+                [ann_info.get("image_id", ann_info.get("id"))]),
+            "size": np.asarray([h, w]),
+            "orig_size": np.asarray([h, w]),
+        }
+        if "segments_info" in ann_info:
+            id_map = rgb2id(np.asarray(Image.open(
+                os.path.join(self.ann_folder, ann_info["file_name"]))))
+            ids = np.asarray([s["id"]
+                              for s in ann_info["segments_info"]])
+            masks = (id_map[None] == ids[:, None, None]).astype(np.uint8)
+            target["labels"] = np.asarray(
+                [s["category_id"] for s in ann_info["segments_info"]],
+                np.int64)
+            if self.return_masks:
+                target["masks"] = masks
+            import jax.numpy as jnp
+
+            target["boxes"] = np.asarray(
+                masks_to_boxes(jnp.asarray(masks)))
+            for name in ("iscrowd", "area"):
+                target[name] = np.asarray(
+                    [s[name] for s in ann_info["segments_info"]])
+        return target

@@ -49,3 +49,22 @@ def generalized_box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     wh = jnp.clip(rb - lt, 0)
     hull = wh[..., 0] * wh[..., 1]
     return iou - (hull - union) / hull
+
+
+def masks_to_boxes(masks: jnp.ndarray) -> jnp.ndarray:
+    """DETR/util/box_ops.py:74-88: [N, H, W] binary masks → [N, 4]
+    xyxy boxes around the mask support (zeros for empty masks)."""
+    if masks.shape[0] == 0:
+        return jnp.zeros((0, 4), jnp.float32)
+    n, h, w = masks.shape
+    m = masks.astype(jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    big = jnp.float32(1e8)
+    any_mask = m.sum(axis=(1, 2)) > 0
+    x_max = (m * xs).reshape(n, -1).max(axis=-1)
+    x_min = jnp.where(m > 0, xs, big).reshape(n, -1).min(axis=-1)
+    y_max = (m * ys).reshape(n, -1).max(axis=-1)
+    y_min = jnp.where(m > 0, ys, big).reshape(n, -1).min(axis=-1)
+    boxes = jnp.stack([x_min, y_min, x_max, y_max], axis=1)
+    return jnp.where(any_mask[:, None], boxes, 0.0)
