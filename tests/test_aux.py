@@ -272,3 +272,23 @@ def test_coco_panoptic_dataset(tmp_path):
     empty = jnp.zeros((1, 4, 6))
     np.testing.assert_allclose(np.asarray(masks_to_boxes(empty)),
                                [[0, 0, 0, 0]])
+
+
+def test_plot_logs_reads_scalar_streams(tmp_path):
+    """plot_logs data layer (DETR/util/plot_utils.py semantics) over
+    ScalarLogger jsonl streams."""
+    from transformer_mm_explainability_tpu.utils.logger import (
+        ScalarLogger)
+    from transformer_mm_explainability_tpu.utils.visualization import (
+        plot_logs)
+
+    d = tmp_path / "run1"
+    sl = ScalarLogger(str(d))
+    for step, loss in enumerate([3.0, 2.0, 1.0]):
+        sl.log(step, {"loss": loss, "acc": 1.0 - loss / 3})
+    out = plot_logs(str(d), fields=("loss", "acc", "missing"))
+    steps, vals = out[str(d)]["loss"]
+    assert steps == [0, 1, 2] and vals == [3.0, 2.0, 1.0]
+    assert "missing" not in out[str(d)]
+    sm = plot_logs(str(d), fields=("loss",), ewm_alpha=0.5)
+    assert sm[str(d)]["loss"][1][1] == pytest.approx(2.5)

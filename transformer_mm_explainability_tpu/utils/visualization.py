@@ -151,3 +151,68 @@ def visualize_images(images, size=(224, 224), nrow: int = 8,
         plt.axis("off")
         plt.imshow(grid)
     return grid
+
+
+def load_scalar_logs(log_dirs, log_name: str = "scalars.jsonl"):
+    """Read one or more ScalarLogger jsonl streams →
+    {dir: {field: (steps, values)}} (the data layer of
+    DETR/util/plot_utils.plot_logs:13-70 without pandas)."""
+    import json as _json
+    import os
+
+    if isinstance(log_dirs, (str, os.PathLike)):
+        log_dirs = [log_dirs]
+    out = {}
+    for d in log_dirs:
+        path = os.path.join(str(d), log_name)
+        series: dict = {}
+        with open(path) as f:
+            for line in f:
+                rec = _json.loads(line)
+                step = rec.get("step", 0)
+                for k, v in rec.items():
+                    if k in ("step", "time") or not isinstance(
+                            v, (int, float)):
+                        continue
+                    series.setdefault(k, ([], []))
+                    series[k][0].append(step)
+                    series[k][1].append(float(v))
+        out[str(d)] = series
+    return out
+
+
+def plot_logs(log_dirs, fields=("loss",), ewm_alpha: float = 0.0,
+              log_name: str = "scalars.jsonl", show: bool = False):
+    """plot_logs (DETR/util/plot_utils.py:13-70) over ScalarLogger
+    streams: one subplot per field, one line per log dir, optional
+    exponential smoothing.  Returns {dir: {field: smoothed values}}
+    so callers can assert without a display."""
+    data = load_scalar_logs(log_dirs, log_name)
+    smoothed = {}
+    for d, series in data.items():
+        smoothed[d] = {}
+        for field in fields:
+            if field not in series:
+                continue
+            steps, vals = series[field]
+            if ewm_alpha > 0:
+                acc, out = None, []
+                for v in vals:
+                    acc = v if acc is None else (
+                        ewm_alpha * acc + (1 - ewm_alpha) * v)
+                    out.append(acc)
+                vals = out
+            smoothed[d][field] = (steps, vals)
+    if show:  # pragma: no cover - display path
+        import matplotlib.pyplot as plt
+        n = len(fields)
+        fig, axes = plt.subplots(1, n, figsize=(5 * n, 4))
+        if n == 1:
+            axes = [axes]
+        for ax, field in zip(axes, fields):
+            for d in smoothed:
+                if field in smoothed[d]:
+                    ax.plot(*smoothed[d][field], label=d)
+            ax.set_title(field)
+            ax.legend()
+    return smoothed
