@@ -141,6 +141,21 @@ def test_calculate_metrics_end_to_end(tmp_path):
     assert out["CIDEr"] > 5.0  # exact echoes of one ref per image
 
 
+def test_calculate_metrics_ignores_out_of_subset_annotations():
+    # full-val predictions scored against a subset must not KeyError
+    # (pinned fix: the reference's dict-comprehension raises)
+    gts = {"annotations": [
+        {"image_id": 0, "caption": "a b c"},
+        {"image_id": 99, "caption": "never scored"},
+    ]}
+    res = {"annotations": [
+        {"image_id": 0, "caption": "a b c"},
+        {"image_id": 42, "caption": "extra prediction"},
+    ]}
+    out = cm.calculate_metrics([0], gts, res)
+    assert out["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_caption_eval_cli(tmp_path, capsys):
     import json
 

@@ -106,6 +106,25 @@ def test_lmdb_roundtrip(tmp_path, fake_lmdb):
     assert bare_info["num_boxes"] is None  # no sidecar on conversion
 
 
+def test_lmdb_roundtrip_nested_dirs(tmp_path, fake_lmdb):
+    from transformer_mm_explainability_tpu.tools import lmdb_tools
+
+    src = tmp_path / "feats" / "train2014"
+    src.mkdir(parents=True)
+    f = np.arange(8, dtype=np.float32).reshape(2, 4)
+    np.save(src / "x.npy", f)
+    keys = lmdb_tools.convert_dir_to_lmdb(
+        str(tmp_path / "feats"), str(tmp_path / "db"),
+        lmdb_module=fake_lmdb)
+    assert keys == [b"train2014/x"]
+    out = tmp_path / "out"
+    ids = lmdb_tools.extract_lmdb_to_dir(
+        str(tmp_path / "db"), str(out), lmdb_module=fake_lmdb)
+    assert ids == ["train2014/x"]
+    np.testing.assert_array_equal(
+        np.load(out / "train2014" / "x.npy"), f)
+
+
 def test_lmdb_reader_consumes_converted_store(tmp_path, fake_lmdb,
                                               monkeypatch):
     """End-to-end: the converted store is readable through
@@ -245,3 +264,34 @@ def test_extract_dataset_pool5(tmp_path):
         str(img_dir), str(out), total_group=2, group_id=1,
         trunk=trunk, batch_size=2)
     assert len(odd) == 2
+
+    # a stale .lock next to a finished .npy marks a crashed worker:
+    # the (possibly truncated) file must be regenerated
+    victim = out / "COCO_val_000000000000.npy"
+    os.makedirs(str(victim) + ".lock")
+    np.save(victim, np.zeros((1, 1, 1, 1), np.float32))  # "truncated"
+    redo = extract_grid_feats.extract_dataset_pool5(
+        str(img_dir), str(out), total_group=2, group_id=0,
+        trunk=trunk, batch_size=2)
+    assert [os.path.basename(w) for w in redo] == [
+        "COCO_val_000000000000.npy"]
+    assert not os.path.exists(str(victim) + ".lock")
+    assert np.load(victim).shape != (1, 1, 1, 1)
+
+
+def test_extract_pool5_extension_handling(tmp_path):
+    from PIL import Image
+
+    from transformer_mm_explainability_tpu.tools import extract_grid_feats
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    arr = np.zeros((16, 16, 3), np.uint8)
+    # a stem that CONTAINS the extension string: naive
+    # replace(ext, 'npy') would corrupt the name
+    Image.fromarray(arr).save(img_dir / "png_chart_0.png")
+    trunk = extract_grid_feats.make_trunk(stages=(1, 1, 1, 1))
+    written = extract_grid_feats.extract_dataset_pool5(
+        str(img_dir), str(tmp_path / "o"), ext_filter="png",
+        trunk=trunk)
+    assert [os.path.basename(w) for w in written] == ["png_chart_0.npy"]

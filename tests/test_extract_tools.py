@@ -25,6 +25,17 @@ def test_image_scale_protocol():
     assert ocr.image_scale(400, 600) == pytest.approx(2.0)
     # longest-edge cap engages: 800/300 * 1200 = 3200 > 1333
     assert ocr.image_scale(300, 1200) == pytest.approx(1333 / 1200)
+    # boundary case 600×1000: scale·max = 1333.33 — the cap branch
+    # must match resize_shortest_edge (no np.round), since the boxes
+    # share the image's actual resize
+    assert ocr.image_scale(600, 1000) == pytest.approx(1333 / 1000)
+    from transformer_mm_explainability_tpu.ops import image as img_ops
+    import jax.numpy as jnp
+
+    resized = img_ops.resize_shortest_edge(
+        jnp.zeros((600, 1000, 3)), 800, 1333)
+    s = ocr.image_scale(600, 1000)
+    assert resized.shape[:2] == (round(600 * s), round(1000 * s))
 
 
 def test_ocr_roi_features_shapes_and_box_sensitivity():

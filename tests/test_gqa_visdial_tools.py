@@ -119,7 +119,10 @@ def test_h5_extraction(tmp_path):
                                          str(tmp_path / "s"), n_files=1)
     assert n == 1
     sgrid = np.load(tmp_path / "s" / "img7.npy")
-    assert sgrid.shape == (1, 7, 7, 2048)  # reshaped (:118)
+    assert sgrid.shape == (1, 7, 7, 2048)
+    # real CHW→HWC transpose, not the reference's buffer reshape
+    # (:118 pinned): cell (h, w) must hold the channel vector
+    np.testing.assert_array_equal(sgrid[0, 3, 5], grid[0, :, 3, 5])
 
 
 def test_build_vocabularies(tmp_path):

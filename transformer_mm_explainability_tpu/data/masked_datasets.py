@@ -12,7 +12,11 @@ Re-design of the reference's masked dataset family:
   ``is_correct = -1``.
 - ``MaskedVisualGenomeDataset``
   (builders/visual_genome/masked_dataset.py): masked question with the
-  article-stripped answer preprocessing.
+  reference's answer preprocessing — note this is SUBSTRING
+  replacement (word_tokenize ``remove=["?", ",", ".", "a", "an",
+  "the"]``), so e.g. "black cat" → "blck ct".  Reproduced verbatim
+  (a pinned reference quirk): answers scored through this path must
+  mangle identically or they stop matching the published setup.
 
 Divergence pinned: the reference drives sampling from the GLOBAL
 ``random`` module; here every dataset owns an explicit seeded
@@ -31,17 +35,10 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from ..core.registry import registry
 from ..core.sample import Sample
-from .builders import DatasetBuilder, MmfDataset, VQA2Dataset
+from .builders import (MmfDataset, VQA2Dataset, _build_processor,
+                       _make_builder)
 from .processors import word_tokenize
-
-
-def _build_processor(spec: Optional[Dict[str, Any]]):
-    if spec is None:
-        return None
-    cls = registry.get("processor", spec["type"])
-    return cls(spec.get("params", {}))
 
 
 class _MaskedMixin:
@@ -201,18 +198,9 @@ class MaskedVisualGenomeDataset(MmfDataset, _MaskedMixin):
         return sample
 
 
-def _register(name: str, cls) -> None:
-    builder = type(
-        f"{name.title().replace('_', '')}Builder", (DatasetBuilder,),
-        {"dataset_class": cls,
-         "__init__": lambda self, dataset_name=name:
-             DatasetBuilder.__init__(self, dataset_name)})
-    registry.register_builder(name)(builder)
-
-
-_register("masked_coco", MaskedCOCODataset)
+_make_builder("masked_coco", MaskedCOCODataset)
 # the reference's masked conceptual-captions dataset is MaskedCOCO
 # with a different data path (builders/conceptual_captions)
-_register("masked_conceptual_captions", MaskedCOCODataset)
-_register("masked_vqa2", MaskedVQA2Dataset)
-_register("masked_visual_genome", MaskedVisualGenomeDataset)
+_make_builder("masked_conceptual_captions", MaskedCOCODataset)
+_make_builder("masked_vqa2", MaskedVQA2Dataset)
+_make_builder("masked_visual_genome", MaskedVisualGenomeDataset)

@@ -9,9 +9,11 @@ per image (the reference permutes NCHW→NHWC before saving, :112).
 
 Protocol knobs match the reference: 448×448 resize, ImageNet
 mean/std normalisation, ``image_id % total_group == group_id``
-sharding for multi-worker runs (:99), ``.lock`` directories so
-concurrent workers skip in-flight files (:105-119), grey-scale
-expansion to 3 channels (:55-57).
+sharding for multi-worker runs (:99), ``.lock`` directories marking
+in-flight writes — a finished ``.npy`` with no lock is skipped on
+re-runs, while one left with a stale lock (crashed worker) is
+regenerated (:105-119) — and grey-scale expansion to 3 channels
+(:55-57).
 
 TPU notes: images are batched host-side and the trunk is jitted once
 for the fixed 448×448 shape — the MXU sees one large NHWC conv
@@ -88,21 +90,25 @@ def extract_dataset_pool5(image_dir: str, save_dir: str,
     trunk = trunk or make_trunk()
     os.makedirs(save_dir, exist_ok=True)
     excluded = {e: 1 for e in exclude}
-    done = {os.path.basename(f).split(".")[0]: 1
-            for f in glob(os.path.join(save_dir, "*.npy"))}
+    # a .npy only counts as done when no stale .lock sits next to it —
+    # a crashed worker leaves both, and its (possibly truncated) file
+    # must be regenerated (the reference's done-set at :78-83 ignores
+    # locks, making its own redo check at :105 unreachable — pinned)
+    done = {os.path.basename(f)[:-len(".npy")]: 1
+            for f in glob(os.path.join(save_dir, "*.npy"))
+            if not os.path.exists(f + ".lock")}
 
     todo: List[Tuple[str, str]] = []
     for impath in sorted(glob(os.path.join(image_dir, "*." + ext_filter))):
         image_name = os.path.basename(impath)
-        stem = image_name.split(".")[0]
+        stem = os.path.splitext(image_name)[0]
         if stem in excluded or stem in done:
             continue
         if get_image_id(image_name) % total_group != group_id:
             continue
-        save_path = os.path.join(
-            save_dir, image_name.replace(ext_filter, "npy"))
-        tmp_lock = save_path + ".lock"
-        if os.path.exists(save_path) and not os.path.exists(tmp_lock):
+        save_path = os.path.join(save_dir, stem + ".npy")
+        if (os.path.exists(save_path)
+                and not os.path.exists(save_path + ".lock")):
             continue
         todo.append((impath, save_path))
 

@@ -31,10 +31,15 @@ import numpy as np
 
 def image_scale(h: int, w: int, target: int = 800,
                 cap: int = 1333) -> float:
-    """extract_ocr_frcn_feature.py:50-56 (the standard detectron
-    shortest-edge scale with longest-edge cap)."""
+    """The shortest-edge scale with longest-edge cap, matching
+    ``ops/image.resize_shortest_edge`` EXACTLY (the image below is
+    resized through it, so boxes must share its scale decision).
+    Divergence pinned: extract_ocr_frcn_feature.py:50-56 applies
+    ``np.round`` before comparing against the cap, which near the
+    boundary (e.g. 600×1000 → scale·max = 1333.33 → round 1333) can
+    pick a different branch than the resize itself."""
     scale = float(target) / float(min(h, w))
-    if np.round(scale * max(h, w)) > cap:
+    if cap and max(h, w) * scale > cap:
         scale = float(cap) / float(max(h, w))
     return scale
 

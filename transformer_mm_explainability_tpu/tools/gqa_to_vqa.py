@@ -130,7 +130,12 @@ def extract_bbox_feats(feat_dir: str, out_dir: str,
 def extract_spatial_feats(feat_dir: str, out_dir: str,
                           n_files: int = 16) -> int:
     """convert_gqa_to_vqa.py:103-121: gqa_spatial_*.h5 → per-image
-    [1, 7, 7, 2048] npy grids."""
+    [1, 7, 7, 2048] npy grids.
+
+    Divergence pinned: GQA ships spatial features CHW (2048, 7, 7);
+    the reference's ``reshape(1, 7, 7, 2048)`` (:118) reinterprets the
+    flat buffer instead of transposing, scrambling every grid.  Here
+    the conversion is a real CHW→HWC transpose."""
     import h5py
 
     os.makedirs(out_dir, exist_ok=True)
@@ -141,7 +146,8 @@ def extract_spatial_feats(feat_dir: str, out_dir: str,
                        "r") as feat_db:
             for image_id, meta in file_mapping[i]:
                 to_save = np.asarray(feat_db["features"][meta["idx"]])
-                to_save = to_save.reshape(1, 7, 7, 2048)
+                to_save = to_save.reshape(2048, 7, 7)
+                to_save = to_save.transpose(1, 2, 0)[None]  # CHW→1HWC
                 np.save(os.path.join(out_dir, str(image_id) + ".npy"),
                         to_save)
                 n += 1

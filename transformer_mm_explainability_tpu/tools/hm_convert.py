@@ -124,7 +124,10 @@ def convert(zip_file: str, data_dir: str, password: Optional[str] = None,
         shutil.move(src, dest)
         if src.endswith(".tar.gz"):
             with tarfile.open(dest) as tar:
-                tar.extractall(path=images_path, filter="data")
+                try:
+                    tar.extractall(path=images_path, filter="data")
+                except TypeError:  # filter= needs >= 3.10.12/3.11.4
+                    tar.extractall(path=images_path)
     return base_path
 
 

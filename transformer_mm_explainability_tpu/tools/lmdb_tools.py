@@ -101,8 +101,10 @@ def extract_lmdb_to_dir(lmdb_path: str, features_folder: str,
             info = {"image_id": img_id}
             for field in INFO_FIELDS:
                 info[field] = item.get(field)
-            np.save(os.path.join(features_folder, img_id + ".npy"),
-                    item["features"])
+            feat_path = os.path.join(features_folder, img_id + ".npy")
+            # keys may carry subdirectories (convert globs **/*.npy)
+            os.makedirs(os.path.dirname(feat_path), exist_ok=True)
+            np.save(feat_path, item["features"])
             np.save(os.path.join(features_folder, img_id + "_info.npy"),
                     info)
     return ids

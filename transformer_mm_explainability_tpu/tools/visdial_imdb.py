@@ -57,7 +57,12 @@ def build_imdb(data: dict, image_root: str) -> dict:
 
 def main(argv: Optional[List[str]] = None) -> None:
     parser = argparse.ArgumentParser("Build IMDB for VisDial")
-    parser.add_argument("-o", "--out_file", type=str, default="./imdb.npy")
+    # the payload is json (reference save_imdb json.dump()s too) —
+    # the reference's "./imdb.npy" default extension (:21) would make
+    # extension-dispatching loaders mis-parse the file, so default to
+    # .json here
+    parser.add_argument("-o", "--out_file", type=str,
+                        default="./imdb.json")
     parser.add_argument("-i", "--image_root", type=str, default="./COCO")
     parser.add_argument("-v", "--version", type=float, default=0.9)
     parser.add_argument("-d", "--data_dir", type=str, default="./visdial")

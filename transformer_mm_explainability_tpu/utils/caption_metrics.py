@@ -257,13 +257,18 @@ class COCOEvalCap:
 
 def calculate_metrics(img_ids: Iterable, dataset_gts: Mapping,
                       dataset_res: Mapping) -> Dict[str, float]:
-    """coco_caption_eval.py:88-99."""
+    """coco_caption_eval.py:88-99.  Annotations outside ``img_ids``
+    are ignored (the reference KeyErrors on them — pinned fix, so a
+    full-val prediction file can be scored against a test subset)."""
+    keep = set(img_ids)
     img_to_anns_gts = {i: [] for i in img_ids}
     for ann in dataset_gts["annotations"]:
-        img_to_anns_gts[ann["image_id"]] += [ann]
+        if ann["image_id"] in keep:
+            img_to_anns_gts[ann["image_id"]] += [ann]
     img_to_anns_res = {i: [] for i in img_ids}
     for ann in dataset_res["annotations"]:
-        img_to_anns_res[ann["image_id"]] += [ann]
+        if ann["image_id"] in keep:
+            img_to_anns_res[ann["image_id"]] += [ann]
     eval_obj = COCOEvalCap(img_ids, img_to_anns_gts, img_to_anns_res)
     eval_obj.evaluate()
     return eval_obj.eval
