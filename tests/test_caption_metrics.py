@@ -156,6 +156,39 @@ def test_calculate_metrics_ignores_out_of_subset_annotations():
     assert out["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_textcaps_eval_cli(tmp_path, capsys):
+    import json
+
+    from transformer_mm_explainability_tpu.tools import textcaps_eval
+
+    imdb = np.array([
+        {"dataset_name": "textcaps"},
+        {"image_id": "i1", "caption_str": "a man rides a horse"},
+        {"image_id": "i1", "caption_str": "a man on a horse"},
+        {"image_id": "i2", "caption_str": "two birds fly away"},
+    ], dtype=object)
+    np.save(tmp_path / "imdb.npy", imdb)
+    preds = [{"image_id": "i1", "caption": "a man rides a horse"},
+             {"image_id": "i2", "caption": "two birds fly away"}]
+    pf = tmp_path / "pred.json"
+    pf.write_text(json.dumps(preds))
+
+    metrics = textcaps_eval.main(
+        ["--pred_file", str(pf),
+         "--annotation_file", str(tmp_path / "imdb.npy")])
+    assert metrics["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
+    out = capsys.readouterr().out
+    assert "Final model performance" in out
+    assert "Bleu_4 : 100.0" in out
+    assert "METEOR" not in out.split("**********")[-1]  # not computed
+
+    with pytest.raises(Exception, match="train and val"):
+        textcaps_eval.main(["--pred_file", str(pf),
+                            "--annotation_file",
+                            str(tmp_path / "imdb.npy"),
+                            "--set", "test"])
+
+
 def test_caption_eval_cli(tmp_path, capsys):
     import json
 

@@ -161,10 +161,96 @@ def test_masked_visual_genome(tmp_path):
     assert float(np.asarray(s["targets"]).max()) > 0
 
 
+def test_masked_q_vqa2(tmp_path):
+    from transformer_mm_explainability_tpu.data import masked_datasets
+
+    ann = [{"image_id": 1, "question_id": 9,
+            "question_str": "what color is the sky",
+            "question_tokens": ["what", "color", "is", "the", "sky"],
+            "answers": ["blue"] * 10,
+            "feature_path": "img_1.npy"}]
+    np.save(tmp_path / "ann.npy", np.array(
+        [{"metadata": True}] + ann, dtype=object))
+    _write_features(str(tmp_path), ["img_1"])
+
+    q_words = ["what", "color", "is", "the", "sky", "<mask>"]
+    procs = {
+        "text_processor": {"type": "vocab",
+                           "params": {"vocab": {"words": q_words},
+                                      "max_length": 8}},
+        "answer_processor": {"type": "vqa_answer",
+                             "params": {"vocab": q_words,
+                                        "num_answers": 10}},
+    }
+    cfg = {"annotations": str(tmp_path / "ann.npy"),
+           "features": str(tmp_path), "max_features": 4,
+           "processors": procs, "seed": 2}
+    ds = masked_datasets.MaskedQVQA2Dataset("masked_q_vqa2", cfg,
+                                            "train")
+    s = ds[0]
+    from transformer_mm_explainability_tpu.data.processors import Vocab
+
+    text = np.asarray(s["text"])
+    mask_id = ds.text_processor.vocab.get_stoi()["<mask>"]
+    # exactly one real token replaced by <mask>
+    assert int((text[:5] == mask_id).sum()) == 1
+    # the masked word became the (full-score) answer target
+    masked_pos = int(np.argmax(text[:5] == mask_id))
+    word = ann[0]["question_tokens"][masked_pos]
+    aidx = ds.answer_processor.word2idx(word)
+    assert float(np.asarray(s["targets"])[aidx]) == 1.0
+
+
+def test_masked_mmimdb_and_localized_narratives(tmp_path):
+    from transformer_mm_explainability_tpu.data import masked_datasets
+
+    # --- mmimdb: plot + random genre ---------------------------------
+    ann = [{"image_id": 5, "plot": ["a man rides a horse"],
+            "genres": ["western"], "feature_path": "img_5.npy"}]
+    np.save(tmp_path / "ann.npy", np.array(
+        [{"metadata": True}] + ann, dtype=object))
+    _write_features(str(tmp_path), ["img_5"])
+    cfg = {"annotations": str(tmp_path / "ann.npy"),
+           "features": str(tmp_path), "max_features": 4,
+           "processors": _processors()}
+    # needs a text_processor for the VQA2 base init? no — load_item
+    # is fully overridden, text_processor unused
+    cfg["processors"]["text_processor"] = {
+        "type": "bert_tokenizer",
+        "params": {"tokenizer_config": {"vocab": VOCAB_DICT},
+                   "max_seq_length": 16}}
+    ds = masked_datasets.MaskedMMImdbDataset("masked_mmimdb", cfg,
+                                             "train")
+    s = ds[0]
+    assert int(s["is_correct"]) == -1
+    assert s["segment_ids"].max() == 1  # plot [SEP] genre
+
+    # --- localized narratives: whole caption, empty text_b ----------
+    ann2 = [{"image_id": 6, "caption": "two birds",
+             "feature_path": "img_6.npy"}]
+    np.save(tmp_path / "ann2.npy", np.array(
+        [{"metadata": True}] + ann2, dtype=object))
+    _write_features(str(tmp_path), ["img_6"])
+    cfg2 = {"annotations": str(tmp_path / "ann2.npy"),
+            "features": str(tmp_path), "max_features": 4,
+            "processors": _processors(masks=False)}
+    ds2 = masked_datasets.MaskedLocalizedNarrativesDataset(
+        "masked_localized_narratives", cfg2, "train")
+    s2 = ds2[0]
+    assert int(s2["is_correct"]) == 1  # True
+    assert s2["segment_ids"].max() == 0  # no second segment
+    assert s2["feature_path"] == "img_6.npy"
+    # image_info_0's image_id renamed to feature_path
+    assert "image_info_0" in s2
+
+
 def test_masked_builders_registered():
     import transformer_mm_explainability_tpu.zoo  # noqa: F401
     from transformer_mm_explainability_tpu.core.registry import registry
 
     for name in ("masked_coco", "masked_conceptual_captions",
-                 "masked_vqa2", "masked_visual_genome"):
+                 "masked_vqa2", "masked_visual_genome",
+                 "masked_q_vqa2", "masked_mmimdb",
+                 "masked_localized_narratives", "masked_flickr30k",
+                 "masked_coco2017"):
         assert registry.get("builder", name) is not None

@@ -1,6 +1,8 @@
 """Sample/SampleList batch containers (mmf/common/sample.py equivalent).
 
-Dict-of-arrays batches with attribute access, collation of
+Dict-of-arrays batches with attribute access (BatchCollator —
+mmf/common/batch_collator.py — is the ``collate`` function here),
+collation of
 heterogeneous samples by padding to the bucket max, and device
 placement. TPU-first: collation pads to STATIC bucket sizes so one
 compiled program serves a whole dataset.

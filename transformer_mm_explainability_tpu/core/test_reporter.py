@@ -3,7 +3,9 @@
 Re-design of ``VisualBERT/mmf/common/test_reporter.py``
 (TestReporter:26-160): accumulate per-dataset prediction rows and
 flush them to timestamped json/csv files under a reports folder — the
-EvalAI-submission surface of the reference's ``predict`` flow.
+EvalAI-submission surface of the reference's ``predict`` flow
+(mmf_cli/predict.py + mmf/trainers/core/reporting.py
+TrainerReportingMixin).
 
 Host-side IO; rows come from a prediction processor (e.g. the
 registered ``prediction.argmax``) applied to eval Reports.

@@ -23,9 +23,18 @@ Divergence pinned: the reference drives sampling from the GLOBAL
 ``random.Random`` (jax-style reproducibility — re-creating the dataset
 replays the same masking/caption draws).
 
+Also built: ``MaskedQVQA2Dataset`` (masked_q_vqa2_dataset.py — mask
+one question token, predict it as the answer),
+``MaskedMMImdbDataset`` (mmimdb/masked_dataset.py — plot + random
+genre), and ``MaskedLocalizedNarrativesDataset``
+(localized_narratives/masked_dataset.py — whole-caption masking, the
+mixin flickr30k and coco2017 reuse).
+
 Registered builders: ``masked_coco``, ``masked_conceptual_captions``
 (an alias — the reference's masked CC dataset subclasses MaskedCOCO
-unchanged), ``masked_vqa2``, ``masked_visual_genome``.
+unchanged), ``masked_vqa2``, ``masked_visual_genome``,
+``masked_q_vqa2``, ``masked_mmimdb``, ``masked_localized_narratives``,
+``masked_flickr30k``, ``masked_coco2017``.
 """
 
 from __future__ import annotations
@@ -198,9 +207,103 @@ class MaskedVisualGenomeDataset(MmfDataset, _MaskedMixin):
         return sample
 
 
+class MaskedQVQA2Dataset(VQA2Dataset):
+    """vqa2/masked_q_vqa2_dataset.py:6-28: mask ONE random question
+    token (vocab-index path) and make its word the answer target;
+    target zeroed when the word is answer-vocab <unk>."""
+
+    def __init__(self, name: str, config: Dict[str, Any],
+                 dataset_type: str = "train"):
+        super().__init__(name, config, dataset_type)
+        self._rng = random.Random(config.get("seed", 0))
+
+    def add_answer_info(self, info: Dict[str, Any],
+                        sample: Sample) -> Sample:
+        text = np.asarray(sample["text"]).copy()
+        length = min(len(text), int(sample.get("text_len", len(text))))
+        index = self._rng.randint(0, length - 1)
+        word = self.text_processor.vocab.get_itos()[int(text[index])]
+        text[index] = self.text_processor.vocab.get_stoi()["<mask>"]
+        sample["text"] = text
+        processed = self.answer_processor({"answer_tokens": [word]})
+        sample["answers"] = processed["answers"]
+        targets = processed["answers_scores"]
+        if (self.answer_processor.word2idx(word)
+                == self.answer_processor.word2idx("<unk>")):
+            targets = np.zeros_like(targets)
+        sample["targets"] = targets
+        return sample
+
+
+class MaskedMMImdbDataset(VQA2Dataset, _MaskedMixin):
+    """mmimdb/masked_dataset.py:7-60: movie plot as text_a, one random
+    genre as text_b, is_correct = -1."""
+
+    def __init__(self, name: str, config: Dict[str, Any],
+                 dataset_type: str = "train"):
+        super().__init__(name, config, dataset_type)
+        self._init_masked(config)
+
+    def load_item(self, idx: int) -> Sample:
+        info = self.annotation_db[idx]
+        sample = Sample()
+        if self._use_features:
+            sample = self._masked_features(idx, sample)
+        plot = info["plot"]
+        if isinstance(plot, list):
+            plot = plot[0]
+        processed = self.masked_token_processor({
+            "text_a": plot,
+            "text_b": self._rng.choice(info["genres"]),
+            "is_correct": -1})
+        processed.pop("tokens")
+        sample.update(processed)
+        return sample
+
+
+class MaskedLocalizedNarrativesDataset(MmfDataset, _MaskedMixin):
+    """localized_narratives/masked_dataset.py:12-39 (the mixin shared
+    by masked_flickr30k and masked_coco2017): whole caption as text_a,
+    empty text_b, is_correct = True; image_info_0's image_id renamed
+    to feature_path."""
+
+    def __init__(self, name: str, config: Dict[str, Any],
+                 dataset_type: str = "train"):
+        super().__init__(name, config, dataset_type)
+        self._init_masked(config)
+
+    def load_item(self, idx: int) -> Sample:
+        info = self.annotation_db[idx]
+        sample = Sample()
+        processed = self.masked_token_processor({
+            "text_a": info["caption"], "text_b": "",
+            "is_correct": True})
+        processed.pop("tokens", None)
+        sample.update(processed)
+        sample["image_id"] = info["image_id"]
+        sample["feature_path"] = info["feature_path"]
+        if self._use_features:
+            features = self.features_db[idx]
+            image_info_0 = features.get("image_info_0")
+            if image_info_0 and "image_id" in image_info_0:
+                image_info_0["feature_path"] = image_info_0.pop(
+                    "image_id")
+            sample.update(features)
+        return sample
+
+
 _make_builder("masked_coco", MaskedCOCODataset)
 # the reference's masked conceptual-captions dataset is MaskedCOCO
 # with a different data path (builders/conceptual_captions)
 _make_builder("masked_conceptual_captions", MaskedCOCODataset)
 _make_builder("masked_vqa2", MaskedVQA2Dataset)
 _make_builder("masked_visual_genome", MaskedVisualGenomeDataset)
+_make_builder("masked_q_vqa2", MaskedQVQA2Dataset)
+_make_builder("masked_mmimdb", MaskedMMImdbDataset)
+_make_builder("masked_localized_narratives",
+              MaskedLocalizedNarrativesDataset)
+# flickr30k/coco2017 masked datasets are the localized-narratives
+# mixin under other names (flickr30k/masked_dataset.py:10,
+# coco2017/masked_dataset.py:10)
+_make_builder("masked_flickr30k", MaskedLocalizedNarrativesDataset)
+_make_builder("masked_coco2017", MaskedLocalizedNarrativesDataset)

@@ -1,7 +1,9 @@
 """Multi-dataset interleaving loader (C29).
 
 Re-design of ``VisualBERT/mmf/datasets/multi_dataset_loader.py``
-(MultiDatasetLoader:17-292): several dataset iterators interleaved by
+(MultiDatasetLoader:17-292; the torch ConcatDataset shim it wraps,
+mmf/datasets/concat_dataset.py, is subsumed by the same size-weighted
+interleaving): several dataset iterators interleaved by
 per-batch dataset choice — size-proportional probabilities by default
 (``_infer_dataset_probabilities``:158-183), equal probabilities with
 reignition otherwise (``__next__``:206-253, ``change_dataloader``:

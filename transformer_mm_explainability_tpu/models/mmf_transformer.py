@@ -1,6 +1,8 @@
 """TPU-native MMFTransformer: the generic N-modality transformer.
 
-Re-design of ``VisualBERT/mmf/models/mmf_transformer.py`` (:19-187) and
+Re-design of ``VisualBERT/mmf/models/mmf_transformer.py`` (:19-187;
+the flatten helpers of mmf/utils/transform.py are plain reshapes
+here) and
 its huggingface backend
 (``mmf/models/transformers/backends/huggingface.py``:
 HuggingfaceEmbeddings:18-157, HuggingfaceBackend:162-233).

@@ -2,7 +2,8 @@
 
 Re-design of the reference's dataset-prep scripts:
 ``data/gqa/process_raw_data_scripts/process_data.py`` (GQA balanced
-questions → task json) and
+questions → task json; its process_data_all.py / process_submit_data.py
+siblings are the same converter over other splits) and
 ``data/nlvr2/process_raw_data_scripts/process_dataset.py`` (NLVR2
 jsonl → task json).  Output matches the schema the VQA/GQA/NLVR2
 readers in ``data/vqa.py`` consume.

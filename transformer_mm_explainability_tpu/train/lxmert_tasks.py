@@ -1,6 +1,8 @@
 """LXMERT per-task finetune loops (C36: lxmert/src/tasks/{vqa,gqa}.py).
 
-Reproduces the reference VQA finetune protocol (tasks/vqa.py:33-140 +
+Reproduces the reference VQA finetune protocol (tasks/vqa.py:33-140,
+the task heads of tasks/vqa_model.py:11-50 / gqa_model.py / 
+nlvr2_model.py, +
 run/vqa_finetune.bash hyperparameters):
 
   * model: LXMERT encoder (``--llayers 9 --xlayers 5 --rlayers 5``) +

@@ -48,7 +48,11 @@ class TrainerConfig:
 
 
 class Callback:
-    """Hook surface (TrainerCallbackHookMixin, callback_hook.py:9-97)."""
+    """Hook surface (TrainerCallbackHookMixin, callback_hook.py:9-97;
+    the reference's stock callbacks — checkpoint, logistics.py
+    log-interval reporting, lr_scheduler.py stepping, early stopping —
+    map to the Callback subclasses + EarlyStopping below and the
+    scheduler threading in train/steps.py)."""
 
     def on_train_start(self, trainer): ...
     def on_train_end(self, trainer): ...
