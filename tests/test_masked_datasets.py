@@ -252,5 +252,5 @@ def test_masked_builders_registered():
                  "masked_vqa2", "masked_visual_genome",
                  "masked_q_vqa2", "masked_mmimdb",
                  "masked_localized_narratives", "masked_flickr30k",
-                 "masked_coco2017"):
+                 "masked_coco2017", "masked_gqa", "masked_sbu"):
         assert registry.get("builder", name) is not None

@@ -307,3 +307,9 @@ _make_builder("masked_localized_narratives",
 # coco2017/masked_dataset.py:10)
 _make_builder("masked_flickr30k", MaskedLocalizedNarrativesDataset)
 _make_builder("masked_coco2017", MaskedLocalizedNarrativesDataset)
+# masked_gqa (gqa/masked_dataset.py:9-54) is MaskedVQA2's
+# question+random-answer protocol verbatim (its `add_answer` config
+# knob is read but never used); masked_sbu (sbu_captions/
+# masked_dataset.py:6-13) is MaskedCOCO with a renamed dataset
+_make_builder("masked_gqa", MaskedVQA2Dataset)
+_make_builder("masked_sbu", MaskedCOCODataset)
