@@ -1,0 +1,157 @@
+"""VisualBERT pretraining head (masked LM + seq relationship)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from transformer_mm_explainability_tpu.models import bert as jbert
+from transformer_mm_explainability_tpu.models import visual_bert as vb
+
+
+def _tiny():
+    cfg = vb.VisualBERTConfig(
+        bert=jbert.BertConfig(vocab_size=50, hidden_size=16,
+                              num_hidden_layers=2, num_attention_heads=2,
+                              intermediate_size=32,
+                              max_position_embeddings=40),
+        visual_embedding_dim=8, num_labels=7)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    return cfg, vb.init_params(k1, cfg), vb.init_pretrain_params(k2, cfg)
+
+
+def test_pretrain_forward_shapes_and_label_extension():
+    cfg, params, head = _tiny()
+    rng = np.random.RandomState(0)
+    B, S_t, N_v = 3, 10, 5
+    input_ids = jnp.asarray(rng.randint(1, 49, (B, S_t)))
+    input_mask = jnp.asarray(np.ones((B, S_t), np.int32))
+    vis = jnp.asarray(rng.randn(B, N_v, 8).astype(np.float32))
+    labels = np.full((B, S_t), -1, np.int32)
+    labels[:, 2] = 7  # one masked position per row
+    out = vb.pretrain_forward(params, head, input_ids, input_mask,
+                              visual_embeddings=vis,
+                              masked_lm_labels=jnp.asarray(labels),
+                              cfg=cfg)
+    assert out["logits"].shape == (B, S_t + N_v, 50)
+    assert out["seq_relationship"].shape == (B, 2)
+    assert np.isfinite(float(out["masked_lm_loss"]))
+    assert float(out["loss"]) == float(out["masked_lm_loss"])
+
+    # visual span must be ignored: flooding it with garbage labels is
+    # impossible by construction (labels only cover S_t), and an
+    # all-ignored batch yields 0 loss, not NaN
+    out0 = vb.pretrain_forward(params, head, input_ids, input_mask,
+                               visual_embeddings=vis,
+                               masked_lm_labels=jnp.asarray(
+                                   np.full((B, S_t), -1, np.int32)),
+                               cfg=cfg)
+    assert float(out0["masked_lm_loss"]) == 0.0
+
+
+def test_masked_lm_loss_matches_torch_ce():
+    torch = pytest.importorskip("torch")
+    cfg, params, head = _tiny()
+    rng = np.random.RandomState(1)
+    B, S_t = 2, 8
+    input_ids = jnp.asarray(rng.randint(1, 49, (B, S_t)))
+    input_mask = jnp.asarray(np.ones((B, S_t), np.int32))
+    labels = rng.randint(-1, 49, (B, S_t)).astype(np.int32)
+    out = vb.pretrain_forward(params, head, input_ids, input_mask,
+                              masked_lm_labels=jnp.asarray(labels),
+                              cfg=cfg)
+    # torch oracle: CrossEntropyLoss(ignore_index=-1) over the same
+    # logits/labels (visual_bert.py:211, 268-274)
+    logits_t = torch.tensor(np.asarray(out["logits"], np.float32))
+    loss_t = torch.nn.CrossEntropyLoss(ignore_index=-1)(
+        logits_t.view(-1, 50), torch.tensor(labels.astype(np.int64)).view(-1))
+    np.testing.assert_allclose(float(out["masked_lm_loss"]),
+                               float(loss_t), rtol=1e-5)
+
+
+def test_decoder_tied_to_word_embeddings():
+    cfg, params, head = _tiny()
+    rng = np.random.RandomState(2)
+    input_ids = jnp.asarray(rng.randint(1, 49, (1, 6)))
+    input_mask = jnp.asarray(np.ones((1, 6), np.int32))
+    out1 = vb.pretrain_forward(params, head, input_ids, input_mask,
+                               cfg=cfg)
+    # perturb ONLY the word-embedding table → logits must change even
+    # for positions whose input ids are untouched (tied decoder)
+    params2 = jax.tree_util.tree_map(lambda x: x, params)
+    params2 = dict(params2)
+    emb = dict(params2["embeddings"])
+    # single-dim bump (a whole-row constant would cancel against the
+    # LayerNormed h's zero mean); id 49 is never an input
+    emb["word"] = emb["word"].at[49, 0].add(1.0)
+    params2["embeddings"] = emb
+    out2 = vb.pretrain_forward(params2, head, input_ids, input_mask,
+                               cfg=cfg)
+    d = np.abs(np.asarray(out1["logits"][..., 49])
+               - np.asarray(out2["logits"][..., 49]))
+    assert d.max() > 1e-4
+
+
+def test_pretrain_on_masked_coco_batch(tmp_path):
+    """End-to-end: masked_coco sample → pretrain loss decreases."""
+    import os
+
+    import optax
+
+    from transformer_mm_explainability_tpu.data import masked_datasets
+
+    vocab = {w: i for i, w in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        + [f"w{i}" for i in range(45)])}
+    ann = [{"image_id": i,
+            "captions": [f"w{i} w{i+1} w{i+2} w3 w4",
+                         f"w{i} w5 w6"]} for i in range(4)]
+    np.save(tmp_path / "ann.npy", np.array(
+        [{"metadata": True}] + ann, dtype=object))
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        np.save(tmp_path / f"{i}.npy",
+                rng.rand(5, 8).astype(np.float32))
+
+    cfg = {"annotations": str(tmp_path / "ann.npy"),
+           "features": str(tmp_path), "max_features": 5,
+           "processors": {"masked_token_processor": {
+               "type": "masked_token",
+               "params": {"tokenizer_config": {"vocab": vocab},
+                          "max_seq_length": 12,
+                          "mask_probability": 0.3, "seed": 4}}},
+           "seed": 7, "two_sentence": True}
+    ds = masked_datasets.MaskedCOCODataset("masked_coco", cfg, "train")
+    batch = {k: np.stack([np.asarray(ds[i][k]) for i in range(4)])
+             for k in ("input_ids", "input_mask", "lm_label_ids")}
+    feats = np.stack([rng.rand(5, 8).astype(np.float32)
+                      for _ in range(4)])
+
+    mcfg, params, head = _tiny()
+
+    def loss_fn(ph):
+        out = vb.pretrain_forward(
+            ph["p"], ph["h"], jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["input_mask"]),
+            visual_embeddings=jnp.asarray(feats),
+            masked_lm_labels=jnp.asarray(batch["lm_label_ids"]),
+            cfg=mcfg)
+        return out["loss"]
+
+    tx = optax.adam(1e-2)
+    state = {"p": params, "h": head}
+    opt = tx.init(state)
+    step = jax.jit(lambda s, o: _update(s, o, tx, loss_fn))
+    l0 = float(loss_fn(state))
+    for _ in range(6):
+        state, opt, loss = step(state, opt)
+    assert float(loss) < l0
+
+
+def _update(state, opt, tx, loss_fn):
+    loss, grads = jax.value_and_grad(loss_fn)(state)
+    updates, opt = tx.update(grads, opt, state)
+    import optax
+
+    return optax.apply_updates(state, updates), opt, loss

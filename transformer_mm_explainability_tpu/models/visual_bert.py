@@ -218,3 +218,90 @@ def capture(
         jnp.zeros(shape, jnp.float32)
     )
     return out["scores"], out["attn"], grads
+
+
+# ---------------------------------------------------------------------------
+# pretraining head (VisualBERTForPretraining, visual_bert.py:156-280)
+# ---------------------------------------------------------------------------
+
+def init_pretrain_params(key: jax.Array,
+                         cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+                         dtype: jnp.dtype = jnp.float32) -> Dict[str, Any]:
+    """BertPreTrainingHeads: masked-LM predictions (transform
+    dense+gelu+LN, decoder TIED to the word embeddings + free bias)
+    and the 2-way seq_relationship head (tie_weights, :223-230)."""
+    D = cfg.bert.hidden_size
+    ks = jax.random.split(key, 2)
+    nrm = lambda k, shape: (jax.random.normal(k, shape) * 0.02).astype(dtype)
+    return {
+        "transform": {
+            "w": nrm(ks[0], (D, D)), "b": jnp.zeros((D,), dtype),
+            "ln": {"scale": jnp.ones((D,), dtype),
+                   "bias": jnp.zeros((D,), dtype)},
+        },
+        "decoder_bias": jnp.zeros((cfg.bert.vocab_size,), dtype),
+        "seq_relationship": {"w": nrm(ks[1], (D, 2)),
+                             "b": jnp.zeros((2,), dtype)},
+    }
+
+
+def pretrain_forward(
+    params: Dict[str, Any],
+    head: Dict[str, Any],
+    input_ids: jnp.ndarray,
+    input_mask: jnp.ndarray,
+    visual_embeddings: Optional[jnp.ndarray] = None,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    visual_embeddings_type: Optional[jnp.ndarray] = None,
+    visual_mask: Optional[jnp.ndarray] = None,
+    masked_lm_labels: Optional[jnp.ndarray] = None,
+    cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+) -> Dict[str, jnp.ndarray]:
+    """VisualBERTForPretraining.forward (visual_bert.py:233-280).
+
+    ``masked_lm_labels``: [B, S_text] text-side LM labels
+    (-1 = ignore); they are extended with -1 over the visual span
+    exactly like ``add_post_flatten_params`` (:455-465).  Returns
+    {"logits" [B, S, vocab], "seq_relationship" [B, 2],
+    "masked_lm_loss", "loss"} — loss is the mean CE over non-ignored
+    positions (torch ``CrossEntropyLoss(ignore_index=-1)``, :211).
+    """
+    x = embed(params, input_ids, token_type_ids, visual_embeddings,
+              visual_embeddings_type, cfg)
+    if visual_embeddings is not None:
+        if visual_mask is None:
+            visual_mask = jnp.ones(visual_embeddings.shape[:2],
+                                   input_mask.dtype)
+        full_mask = jnp.concatenate([input_mask, visual_mask], axis=1)
+    else:
+        full_mask = input_mask
+    mask = bert.extended_attention_mask(full_mask, x.dtype)
+    hidden, attn = bert.encoder(params["encoder"], x, cfg.bert, mask)
+
+    # BertPooler (tanh of first token) — pretraining uses the default
+    # pooler, not the VQA '?'-token one
+    pooled = jnp.tanh(hidden[:, 0] @ params["pooler"]["w"]
+                      + params["pooler"]["b"])
+
+    t = head["transform"]
+    h = gelu(hidden @ t["w"] + t["b"])
+    h = layer_norm(h, t["ln"]["scale"], t["ln"]["bias"],
+                   cfg.bert.layer_norm_eps)
+    logits = h @ params["embeddings"]["word"].T + head["decoder_bias"]
+    sr = head["seq_relationship"]
+    seq_relationship = pooled @ sr["w"] + sr["b"]
+
+    out = {"logits": logits, "seq_relationship": seq_relationship,
+           "attn": attn}
+    if masked_lm_labels is not None:
+        B, S = hidden.shape[:2]
+        labels = jnp.full((B, S), -1, jnp.int32)
+        labels = labels.at[:, :masked_lm_labels.shape[1]].set(
+            masked_lm_labels.astype(jnp.int32))
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        valid = labels >= 0
+        picked = jnp.take_along_axis(
+            logp, jnp.clip(labels, 0)[..., None], axis=-1)[..., 0]
+        loss = -(picked * valid).sum() / jnp.maximum(valid.sum(), 1)
+        out["masked_lm_loss"] = out["loss"] = loss
+    return out
