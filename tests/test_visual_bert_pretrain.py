@@ -93,6 +93,63 @@ def test_decoder_tied_to_word_embeddings():
     assert d.max() > 1e-4
 
 
+def test_prediction_heads_parity_vs_hf():
+    """Head math vs transformers' BertPreTrainingHeads with shared
+    weights — the exact module the reference deep-copies from
+    BertForPreTraining (visual_bert.py:201-210)."""
+    torch = pytest.importorskip("torch")
+    from transformers.models.bert.modeling_bert import (
+        BertPreTrainingHeads)
+    from transformers import BertConfig as HFBertConfig
+
+    cfg, params, head = _tiny()
+    hf_cfg = HFBertConfig(
+        vocab_size=50, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32, hidden_act="gelu")
+    torch.manual_seed(0)
+    ref = BertPreTrainingHeads(hf_cfg).eval()
+    # share weights: torch Linear stores [out, in] → transpose
+    t = head["transform"]
+    sd = ref.state_dict()
+    t["w"] = jnp.asarray(sd["predictions.transform.dense.weight"].numpy().T)
+    t["b"] = jnp.asarray(sd["predictions.transform.dense.bias"].numpy())
+    t["ln"]["scale"] = jnp.asarray(
+        sd["predictions.transform.LayerNorm.weight"].numpy())
+    t["ln"]["bias"] = jnp.asarray(
+        sd["predictions.transform.LayerNorm.bias"].numpy())
+    head["decoder_bias"] = jnp.asarray(sd["predictions.bias"].numpy())
+    head["seq_relationship"]["w"] = jnp.asarray(
+        sd["seq_relationship.weight"].numpy().T)
+    head["seq_relationship"]["b"] = jnp.asarray(
+        sd["seq_relationship.bias"].numpy())
+    # tie the decoder both ways: HF's decoder weight ← our word table
+    with torch.no_grad():
+        ref.predictions.decoder.weight.copy_(
+            torch.tensor(np.asarray(params["embeddings"]["word"])))
+        ref.predictions.decoder.bias.copy_(
+            torch.tensor(np.asarray(head["decoder_bias"])))
+
+    rng = np.random.RandomState(3)
+    seq = rng.randn(2, 7, 16).astype(np.float32)
+    pooled = rng.randn(2, 16).astype(np.float32)
+
+    ref_logits, ref_sr = ref(torch.tensor(seq), torch.tensor(pooled))
+
+    from transformer_mm_explainability_tpu.ops.attention import (
+        gelu, layer_norm)
+
+    h = gelu(jnp.asarray(seq) @ t["w"] + t["b"])
+    h = layer_norm(h, t["ln"]["scale"], t["ln"]["bias"],
+                   cfg.bert.layer_norm_eps)
+    logits = h @ params["embeddings"]["word"].T + head["decoder_bias"]
+    sr = (jnp.asarray(pooled) @ head["seq_relationship"]["w"]
+          + head["seq_relationship"]["b"])
+    np.testing.assert_allclose(np.asarray(logits),
+                               ref_logits.detach().numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sr),
+                               ref_sr.detach().numpy(), atol=2e-5)
+
+
 def test_pretrain_on_masked_coco_batch(tmp_path):
     """End-to-end: masked_coco sample → pretrain loss decreases."""
     import os
