@@ -206,6 +206,38 @@ def test_pretrain_on_masked_coco_batch(tmp_path):
     assert float(loss) < l0
 
 
+def test_nlvr2_head_pairing():
+    cfg, params, _ = _tiny()
+    head = vb.init_nlvr2_head(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(0)
+    B, S_t, N_v = 3, 6, 4
+    ids = jnp.asarray(rng.randint(1, 49, (2 * B, S_t)))
+    mask = jnp.asarray(np.ones((2 * B, S_t), np.int32))
+    vis = jnp.asarray(rng.randn(2 * B, N_v, 8).astype(np.float32))
+    out = vb.forward_nlvr2(params, head, ids, mask, vis, cfg=cfg)
+    assert out["scores"].shape == (B, 2)
+
+    # pairing semantics: rows [:B] pair with rows [B:] — swapping the
+    # two halves changes which pooled vector lands in which slot of
+    # the concat, so scores must change
+    perm = jnp.concatenate([jnp.arange(B, 2 * B), jnp.arange(B)])
+    out_sw = vb.forward_nlvr2(params, head, ids[perm], mask[perm],
+                              vis[perm], cfg=cfg)
+    assert np.abs(np.asarray(out["scores"])
+                  - np.asarray(out_sw["scores"])).max() > 1e-5
+
+    # but a within-pair-consistent batch permutation only permutes rows
+    rp = jnp.asarray([1, 0, 2])
+    out_p = vb.forward_nlvr2(
+        params, head,
+        jnp.concatenate([ids[:B][rp], ids[B:][rp]]),
+        jnp.concatenate([mask[:B][rp], mask[B:][rp]]),
+        jnp.concatenate([vis[:B][rp], vis[B:][rp]]), cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out_p["scores"]),
+                               np.asarray(out["scores"])[np.asarray(rp)],
+                               atol=1e-5)
+
+
 def _update(state, opt, tx, loss_fn):
     loss, grads = jax.value_and_grad(loss_fn)(state)
     updates, opt = tx.update(grads, opt, state)

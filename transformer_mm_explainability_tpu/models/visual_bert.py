@@ -305,3 +305,64 @@ def pretrain_forward(
         loss = -(picked * valid).sum() / jnp.maximum(valid.sum(), 1)
         out["masked_lm_loss"] = out["loss"] = loss
     return out
+
+
+# ---------------------------------------------------------------------------
+# NLVR2 paired-image classification (visual_bert.py:321-365)
+# ---------------------------------------------------------------------------
+
+def init_nlvr2_head(key: jax.Array,
+                    cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+                    num_labels: int = 2,
+                    dtype: jnp.dtype = jnp.float32) -> Dict[str, Any]:
+    """training_head_type == "nlvr2": the classifier operates on the
+    CONCATENATED pooled pair, so its transform/classifier are sized
+    2·hidden (``self.bert.config.hidden_size *= 2``, :321-326)."""
+    D2 = 2 * cfg.bert.hidden_size
+    ks = jax.random.split(key, 2)
+    nrm = lambda k, shape: (jax.random.normal(k, shape) * 0.02).astype(dtype)
+    return {
+        "transform": {
+            "w": nrm(ks[0], (D2, D2)), "b": jnp.zeros((D2,), dtype),
+            "ln": {"scale": jnp.ones((D2,), dtype),
+                   "bias": jnp.zeros((D2,), dtype)},
+        },
+        "classifier": {"w": nrm(ks[1], (D2, num_labels)),
+                       "b": jnp.zeros((num_labels,), dtype)},
+    }
+
+
+def forward_nlvr2(
+    params: Dict[str, Any],
+    head: Dict[str, Any],
+    input_ids: jnp.ndarray,        # [2B, S] — img0 rows then img1 rows
+    input_mask: jnp.ndarray,
+    visual_embeddings: jnp.ndarray,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    visual_embeddings_type: Optional[jnp.ndarray] = None,
+    visual_mask: Optional[jnp.ndarray] = None,
+    cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+) -> Dict[str, jnp.ndarray]:
+    """VisualBERTForClassification.forward, nlvr2 path (:360-365):
+    the two images of a pair ride the batch axis (rows [:B] = img0,
+    [B:] = img1 — the reference's ``2B·H → B·2H`` concat), pooled with
+    the default BertPooler, concatenated, then transform+classifier.
+    Returns {"scores": [B, num_labels], "attn"}."""
+    x = embed(params, input_ids, token_type_ids, visual_embeddings,
+              visual_embeddings_type, cfg)
+    if visual_mask is None:
+        visual_mask = jnp.ones(visual_embeddings.shape[:2],
+                               input_mask.dtype)
+    full_mask = jnp.concatenate([input_mask, visual_mask], axis=1)
+    mask = bert.extended_attention_mask(full_mask, x.dtype)
+    hidden, attn = bert.encoder(params["encoder"], x, cfg.bert, mask)
+    pooled = jnp.tanh(hidden[:, 0] @ params["pooler"]["w"]
+                      + params["pooler"]["b"])
+    b = pooled.shape[0]
+    pooled = jnp.concatenate([pooled[: b // 2], pooled[b // 2:]], axis=1)
+    t = head["transform"]
+    h = gelu(pooled @ t["w"] + t["b"])
+    h = layer_norm(h, t["ln"]["scale"], t["ln"]["bias"],
+                   cfg.bert.layer_norm_eps)
+    c = head["classifier"]
+    return {"scores": h @ c["w"] + c["b"], "attn": attn}
