@@ -238,6 +238,31 @@ def test_nlvr2_head_pairing():
                                atol=1e-5)
 
 
+def test_bypass_transformer_mode():
+    cfg, params, _ = _tiny()
+    extra = vb.init_bypass_layer(jax.random.PRNGKey(5), cfg)
+    rng = np.random.RandomState(0)
+    B, S_t, N_v = 2, 6, 4
+    ids = jnp.asarray(rng.randint(1, 49, (B, S_t)))
+    mask = jnp.asarray(np.ones((B, S_t), np.int32))
+    vis1 = jnp.asarray(rng.randn(B, N_v, 8).astype(np.float32))
+    vis2 = jnp.asarray(rng.randn(B, N_v, 8).astype(np.float32))
+
+    out1 = vb.forward_bypass(params, extra, ids, mask, vis1, cfg=cfg)
+    out2 = vb.forward_bypass(params, extra, ids, mask, vis2, cfg=cfg)
+    assert out1["sequence_output"].shape == (B, S_t + N_v, 16)
+    # the 12-layer stack saw ONLY text: its attention maps are
+    # visual-independent...
+    np.testing.assert_allclose(np.asarray(out1["text_attn"]),
+                               np.asarray(out2["text_attn"]), atol=1e-6)
+    assert out1["text_attn"].shape[-1] == S_t  # text-only span
+    # ...but the additional joint layer mixes the visuals in
+    d = np.abs(np.asarray(out1["sequence_output"][:, :S_t])
+               - np.asarray(out2["sequence_output"][:, :S_t]))
+    assert d.max() > 1e-6
+    assert out1["joint_attn"].shape[-1] == S_t + N_v
+
+
 def _update(state, opt, tx, loss_fn):
     loss, grads = jax.value_and_grad(loss_fn)(state)
     updates, opt = tx.update(grads, opt, state)

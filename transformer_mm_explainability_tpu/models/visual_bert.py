@@ -366,3 +366,61 @@ def forward_nlvr2(
                    cfg.bert.layer_norm_eps)
     c = head["classifier"]
     return {"scores": h @ c["w"] + c["b"], "attn": attn}
+
+
+# ---------------------------------------------------------------------------
+# bypass_transformer mode (VisualBERTBase.forward, visual_bert.py:107-131)
+# ---------------------------------------------------------------------------
+
+def init_bypass_layer(key: jax.Array,
+                      cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+                      dtype: jnp.dtype = jnp.float32) -> Dict[str, Any]:
+    """The ``additional_layer`` (one BertLayer) the bypass mode appends
+    (:58-60)."""
+    one = dataclasses.replace(cfg.bert, num_hidden_layers=1)
+    return bert.init_encoder_params(key, one, dtype)
+
+
+def forward_bypass(
+    params: Dict[str, Any],
+    additional_layer: Dict[str, Any],
+    input_ids: jnp.ndarray,
+    input_mask: jnp.ndarray,
+    visual_embeddings: jnp.ndarray,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    visual_embeddings_type: Optional[jnp.ndarray] = None,
+    visual_mask: Optional[jnp.ndarray] = None,
+    cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+) -> Dict[str, jnp.ndarray]:
+    """``bypass_transformer=True`` (dormant in every shipped config,
+    but part of the model surface): the 12-layer encoder sees ONLY the
+    text span under a text-only mask (:114-124), then one additional
+    BertLayer runs over [encoded_text ; visual_embedding_part] with
+    the full mask (:125-130); pooled = BertPooler on token 0.
+
+    Returns {"sequence_output", "pooled_output", "text_attn",
+    "joint_attn"}.
+    """
+    x = embed(params, input_ids, token_type_ids, visual_embeddings,
+              visual_embeddings_type, cfg)
+    text_length = input_ids.shape[1]
+    text_x = x[:, :text_length]
+    visual_part = x[:, text_length:]
+
+    text_mask = bert.extended_attention_mask(input_mask, x.dtype)
+    hidden_t, text_attn = bert.encoder(params["encoder"], text_x,
+                                       cfg.bert, text_mask)
+
+    if visual_mask is None:
+        visual_mask = jnp.ones(visual_embeddings.shape[:2],
+                               input_mask.dtype)
+    full_mask = bert.extended_attention_mask(
+        jnp.concatenate([input_mask, visual_mask], axis=1), x.dtype)
+    new_input = jnp.concatenate([hidden_t, visual_part], axis=1)
+    one = dataclasses.replace(cfg.bert, num_hidden_layers=1)
+    final, joint_attn = bert.encoder(additional_layer, new_input, one,
+                                     full_mask)
+    pooled = jnp.tanh(final[:, 0] @ params["pooler"]["w"]
+                      + params["pooler"]["b"])
+    return {"sequence_output": final, "pooled_output": pooled,
+            "text_attn": text_attn, "joint_attn": joint_attn}
