@@ -263,6 +263,34 @@ def test_bypass_transformer_mode():
     assert out1["joint_attn"].shape[-1] == S_t + N_v
 
 
+def test_image_text_alignment_embeddings():
+    torch = pytest.importorskip("torch")
+    cfg, params, _ = _tiny()
+    rng = np.random.RandomState(0)
+    B, S_t, N_v, A = 2, 8, 3, 2
+    ids = jnp.asarray(rng.randint(1, 49, (B, S_t)))
+    vis = jnp.asarray(rng.randn(B, N_v, 8).astype(np.float32))
+    ita = np.array([[[0, 3], [2, -1], [-1, -1]],
+                    [[1, -1], [4, 5], [6, -1]]], np.int32)
+
+    x_none = vb.embed(params, ids, None, vis, None, cfg)
+    x_ali = vb.embed(params, ids, None, vis, None, cfg,
+                     image_text_alignment=jnp.asarray(ita))
+    # text span identical; visual span shifted by the mean TEXT
+    # position embeddings of each box's aligned words
+    np.testing.assert_allclose(np.asarray(x_none[:, :S_t]),
+                               np.asarray(x_ali[:, :S_t]), atol=1e-6)
+    assert np.abs(np.asarray(x_none[:, S_t:])
+                  - np.asarray(x_ali[:, S_t:])).max() > 1e-4
+
+    # oracle for the mean rule (embeddings.py:373-395): all-pad rows
+    # average position-0 embeddings times zero mask → contribute the
+    # masked sum 0 / 1 = 0 (plus the row-0 visual embedding both paths
+    # share) → equal to the no-alignment embedding
+    np.testing.assert_allclose(np.asarray(x_ali[0, S_t + 2]),
+                               np.asarray(x_none[0, S_t + 2]), atol=1e-6)
+
+
 def _update(state, opt, tx, loss_fn):
     loss, grads = jax.value_and_grad(loss_fn)(state)
     updates, opt = tx.update(grads, opt, state)

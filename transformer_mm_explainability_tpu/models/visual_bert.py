@@ -76,8 +76,15 @@ def embed(
     visual_embeddings: Optional[jnp.ndarray],
     visual_embeddings_type: Optional[jnp.ndarray],
     cfg: VisualBERTConfig,
+    image_text_alignment: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Concatenated text+visual embeddings with shared LayerNorm."""
+    """Concatenated text+visual embeddings with shared LayerNorm.
+
+    ``image_text_alignment`` [B, N_v, A] (−1 = pad): per-box word
+    positions; each box's visual position embedding becomes the MEAN
+    of the TEXT position embeddings at its aligned positions plus the
+    row-0 visual position embedding (embeddings.py:369-407).
+    """
     text = bert.text_embeddings(params["embeddings"], input_ids, token_type_ids)
     if visual_embeddings is not None:
         v = params["visual"]
@@ -87,9 +94,18 @@ def embed(
                 visual_embeddings.shape[:2], jnp.int32
             )
         ve = ve + v["token_type"][visual_embeddings_type]
-        # image_text_alignment=None path: visual position embedding is the
-        # row-0 embedding for every box (embeddings.py:410-417)
-        ve = ve + v["position"][0]
+        if image_text_alignment is not None:
+            m = (image_text_alignment != -1).astype(jnp.int32)
+            ita = m * image_text_alignment           # -1 → position 0
+            pe = (params["embeddings"]["position"][ita]
+                  * m[..., None])                    # [B, N, A, D]
+            denom = jnp.maximum(m.sum(axis=2), 1)    # avoid /0 (:392-395)
+            pos_vis = pe.sum(axis=2) / denom[..., None]
+            ve = ve + pos_vis + v["position"][0]
+        else:
+            # image_text_alignment=None path: visual position embedding
+            # is the row-0 embedding for every box (embeddings.py:410-417)
+            ve = ve + v["position"][0]
         x = jnp.concatenate([text, ve], axis=1)
     else:
         x = text
