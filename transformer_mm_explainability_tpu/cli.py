@@ -113,6 +113,29 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--shortest", type=int, default=800)
     common(sp)
 
+    sp = sub.add_parser("predict",
+                        help="prediction run -> EvalAI-style report "
+                             "files (mmf_cli/predict.py flow)")
+    sp.add_argument("--dataset", default="vqa2",
+                    help="registered builder name")
+    sp.add_argument("--annotations", required=True,
+                    help="imdb .npy/.json annotation db")
+    sp.add_argument("--features", required=True,
+                    help="feature dir or .lmdb store")
+    sp.add_argument("--bert-vocab", default=None,
+                    help="vocab.txt (bert-base-uncased layout)")
+    sp.add_argument("--label2ans", default=None,
+                    help="answer-vocab txt (one answer per line) to "
+                         "map class indices to strings")
+    sp.add_argument("--report-folder", default="./reports")
+    sp.add_argument("--file-format", choices=["json", "csv"],
+                    default="json")
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--max-samples", type=int, default=None)
+    sp.add_argument("--max-seq-length", type=int, default=128)
+    sp.add_argument("--max-features", type=int, default=100)
+    common(sp)
+
     sp = sub.add_parser("bench", help="run the ViT-B throughput bench")
     return p
 
@@ -250,6 +273,61 @@ def cmd_detr_eval(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    import jax
+
+    from transformer_mm_explainability_tpu.core.env import setup_imports
+    from transformer_mm_explainability_tpu.core.registry import registry
+    from transformer_mm_explainability_tpu.harness import predict
+    from transformer_mm_explainability_tpu.models import (
+        visual_bert as vb)
+
+    setup_imports()  # register the builder/processor zoo
+
+    if not args.bert_vocab:
+        print("predict: pass --bert-vocab vocab.txt "
+              "(bert-base-uncased layout)")
+        return 2
+
+    dcfg = {
+        "annotations": args.annotations,
+        "features": args.features,
+        "max_features": args.max_features,
+        "processors": {
+            "text_processor": {
+                "type": "bert_tokenizer",
+                "params": {
+                    "tokenizer_config": {"vocab_path": args.bert_vocab},
+                    "max_seq_length": args.max_seq_length}},
+        },
+    }
+    builder = registry.get("builder", args.dataset)()
+    dataset = builder.load(dcfg, "test")
+
+    cfg = vb.VISUAL_BERT_VQA2
+    if args.checkpoint:
+        from transformer_mm_explainability_tpu.utils.mmf_loader import (
+            load_visual_bert)
+
+        params, cfg = load_visual_bert(args.checkpoint, cfg)
+    else:
+        params = vb.init_params(jax.random.PRNGKey(args.seed), cfg)
+
+    label2ans = None
+    if args.label2ans:
+        with open(args.label2ans, encoding="utf-8") as f:
+            label2ans = [ln.rstrip("\n") for ln in f if ln.strip()]
+
+    written = predict.predict_visual_bert(
+        params, cfg, dataset, args.report_folder,
+        dataset_name=args.dataset, batch_size=args.batch_size,
+        label2ans=label2ans, max_samples=args.max_samples,
+        file_format=args.file_format)
+    for path in written:
+        print(path)
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "explain-vit":
@@ -264,6 +342,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return lxmert_tasks.run_from_args(args)
     if args.command == "detr-eval":
         return cmd_detr_eval(args)
+    if args.command == "predict":
+        return cmd_predict(args)
     if args.command == "bench":
         import bench
 
