@@ -64,6 +64,9 @@ def main():
         tmp = tempfile.mkdtemp(prefix="vb_pretrain_")
         args.annotations, args.features, vocab = synthetic_store(tmp)
         print(f"[synthetic masked-coco store in {tmp}]")
+    elif not args.vocab_file:
+        sys.exit("--vocab-file vocab.txt (bert-base-uncased layout) is "
+                 "required with --annotations")
 
     tk = ({"vocab_path": args.vocab_file} if args.vocab_file
           else {"vocab": vocab})
@@ -110,6 +113,8 @@ def main():
                 [np.asarray(r["input_ids"]) for r in rows]),
             "input_mask": np.stack(
                 [np.asarray(r["input_mask"]) for r in rows]),
+            "segment_ids": np.stack(
+                [np.asarray(r["segment_ids"]) for r in rows]),
             "lm_label_ids": np.stack(
                 [np.asarray(r["lm_label_ids"]) for r in rows]),
             "feats": np.stack(
@@ -121,6 +126,9 @@ def main():
         out = vb.pretrain_forward(
             st["p"], st["h"], batch["input_ids"], batch["input_mask"],
             visual_embeddings=batch["feats"],
+            # segment 1 marks the paired second caption — the
+            # two-sentence protocol's signal
+            token_type_ids=batch["segment_ids"],
             masked_lm_labels=batch["lm_label_ids"], cfg=mcfg)
         return out["loss"]
 

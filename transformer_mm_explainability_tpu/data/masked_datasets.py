@@ -220,7 +220,14 @@ class MaskedQVQA2Dataset(VQA2Dataset):
     def add_answer_info(self, info: Dict[str, Any],
                         sample: Sample) -> Sample:
         text = np.asarray(sample["text"]).copy()
-        length = min(len(text), int(sample.get("text_len", len(text))))
+        if "text_len" in sample:
+            length = min(len(text), int(sample["text_len"]))
+        else:
+            # {'question': ...} annotations never set text_len; real
+            # tokens are the non-<pad> prefix (Vocab PAD_INDEX = 0)
+            length = int((text != 0).sum())
+        if length < 1:
+            raise ValueError("masked_q_vqa2: empty question")
         index = self._rng.randint(0, length - 1)
         word = self.text_processor.vocab.get_itos()[int(text[index])]
         text[index] = self.text_processor.vocab.get_stoi()["<mask>"]
@@ -235,9 +242,10 @@ class MaskedQVQA2Dataset(VQA2Dataset):
         return sample
 
 
-class MaskedMMImdbDataset(VQA2Dataset, _MaskedMixin):
+class MaskedMMImdbDataset(MmfDataset, _MaskedMixin):
     """mmimdb/masked_dataset.py:7-60: movie plot as text_a, one random
-    genre as text_b, is_correct = -1."""
+    genre as text_b, is_correct = -1 (plain MMFDataset base, like the
+    reference — no question protocol)."""
 
     def __init__(self, name: str, config: Dict[str, Any],
                  dataset_type: str = "train"):

@@ -59,19 +59,29 @@ def predict_visual_bert(params, cfg, dataset, report_folder: str,
                             prediction_processor=processor)
     reporter.next_dataset()
 
+    if label2ans is not None and len(label2ans) < cfg.num_labels:
+        raise ValueError(
+            f"label2ans has {len(label2ans)} entries but the model "
+            f"predicts {cfg.num_labels} classes — wrong answer vocab?")
+
     n = len(dataset) if max_samples is None else min(max_samples,
                                                      len(dataset))
     for start in range(0, n, batch_size):
         rows = [dataset[i] for i in range(start,
                                           min(start + batch_size, n))]
+        k = len(rows)
+        # pad the final partial batch so ONE compiled program serves
+        # the whole dataset (no tail-shape recompile)
+        rows = rows + [rows[-1]] * (batch_size - k)
         ids = np.stack([np.asarray(r["input_ids"]) for r in rows])
         mask = np.stack([np.asarray(r["input_mask"]) for r in rows])
         feats = np.stack([np.asarray(r["image_feature_0"], np.float32)
                           for r in rows])
         scores = np.asarray(fwd(params, jnp.asarray(ids),
-                                jnp.asarray(mask), jnp.asarray(feats)))
+                                jnp.asarray(mask),
+                                jnp.asarray(feats)))[:k]
         reporter.add_to_report({
             "scores": scores,
-            "question_id": [int(r["question_id"]) for r in rows]})
+            "question_id": [int(r["question_id"]) for r in rows[:k]]})
     reporter.next_dataset()  # flushes the last dataset
     return reporter.written

@@ -121,6 +121,7 @@ def forward(
     token_type_ids: Optional[jnp.ndarray] = None,
     visual_embeddings_type: Optional[jnp.ndarray] = None,
     visual_mask: Optional[jnp.ndarray] = None,
+    image_text_alignment: Optional[jnp.ndarray] = None,
     cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
     taps: Optional[jnp.ndarray] = None,
     return_tape: bool = False,
@@ -133,7 +134,8 @@ def forward(
     attends to all 100 padded feature rows unless masked).
     """
     x = embed(params, input_ids, token_type_ids, visual_embeddings,
-              visual_embeddings_type, cfg)
+              visual_embeddings_type, cfg,
+              image_text_alignment=image_text_alignment)
     if visual_embeddings is not None:
         if visual_mask is None:
             visual_mask = jnp.ones(visual_embeddings.shape[:2], input_mask.dtype)
@@ -271,6 +273,7 @@ def pretrain_forward(
     visual_embeddings_type: Optional[jnp.ndarray] = None,
     visual_mask: Optional[jnp.ndarray] = None,
     masked_lm_labels: Optional[jnp.ndarray] = None,
+    image_text_alignment: Optional[jnp.ndarray] = None,
     cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
 ) -> Dict[str, jnp.ndarray]:
     """VisualBERTForPretraining.forward (visual_bert.py:233-280).
@@ -283,7 +286,8 @@ def pretrain_forward(
     positions (torch ``CrossEntropyLoss(ignore_index=-1)``, :211).
     """
     x = embed(params, input_ids, token_type_ids, visual_embeddings,
-              visual_embeddings_type, cfg)
+              visual_embeddings_type, cfg,
+              image_text_alignment=image_text_alignment)
     if visual_embeddings is not None:
         if visual_mask is None:
             visual_mask = jnp.ones(visual_embeddings.shape[:2],
@@ -357,6 +361,7 @@ def forward_nlvr2(
     token_type_ids: Optional[jnp.ndarray] = None,
     visual_embeddings_type: Optional[jnp.ndarray] = None,
     visual_mask: Optional[jnp.ndarray] = None,
+    image_text_alignment: Optional[jnp.ndarray] = None,
     cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
 ) -> Dict[str, jnp.ndarray]:
     """VisualBERTForClassification.forward, nlvr2 path (:360-365):
@@ -365,7 +370,8 @@ def forward_nlvr2(
     the default BertPooler, concatenated, then transform+classifier.
     Returns {"scores": [B, num_labels], "attn"}."""
     x = embed(params, input_ids, token_type_ids, visual_embeddings,
-              visual_embeddings_type, cfg)
+              visual_embeddings_type, cfg,
+              image_text_alignment=image_text_alignment)
     if visual_mask is None:
         visual_mask = jnp.ones(visual_embeddings.shape[:2],
                                input_mask.dtype)
@@ -406,6 +412,7 @@ def forward_bypass(
     token_type_ids: Optional[jnp.ndarray] = None,
     visual_embeddings_type: Optional[jnp.ndarray] = None,
     visual_mask: Optional[jnp.ndarray] = None,
+    image_text_alignment: Optional[jnp.ndarray] = None,
     cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
 ) -> Dict[str, jnp.ndarray]:
     """``bypass_transformer=True`` (dormant in every shipped config,
@@ -418,7 +425,8 @@ def forward_bypass(
     "joint_attn"}.
     """
     x = embed(params, input_ids, token_type_ids, visual_embeddings,
-              visual_embeddings_type, cfg)
+              visual_embeddings_type, cfg,
+              image_text_alignment=image_text_alignment)
     text_length = input_ids.shape[1]
     text_x = x[:, :text_length]
     visual_part = x[:, text_length:]
