@@ -225,7 +225,8 @@ def capture(
             batch.get("token_type_ids"),
             batch.get("visual_embeddings_type"),
             batch.get("visual_mask"),
-            cfg, taps,
+            image_text_alignment=batch.get("image_text_alignment"),
+            cfg=cfg, taps=taps,
         )
         t = (jnp.argmax(jax.lax.stop_gradient(out["scores"]), axis=-1)
              if targets is None else targets)
