@@ -23,7 +23,9 @@ def main():
     ap.add_argument("image")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--method", default="ours_no_lrp",
-                    choices=["ours_no_lrp", "raw_attn"])
+                    help="any explain.detr.DETR_METHODS name "
+                         "(ours_no_lrp, ours_with_lrp, raw_attn, rollout, "
+                         "attn_gradcam, partial_lrp, transformer_att, ...)")
     ap.add_argument("--output-prefix", default="detr_expl")
     args = ap.parse_args()
 

@@ -1,0 +1,259 @@
+"""Per-family explanation-throughput benchmark (one chip).
+
+The repo-root ``bench.py`` reports the flagship ViT-B/16 number the
+driver records; this tool measures the OTHER model families at their
+protocol shapes so perf regressions anywhere in the framework are
+visible, not just on the flagship:
+
+  clip         CLIP ViT-B/32 ``interpret`` — 4 texts vs one image
+               (CLIP_explainability.ipynb protocol)
+  detr         DETR-R50 ``generate_ours`` — K=4 queries batched into
+               one fwd+bwd at 512x672 (DETR.ipynb / mask_generator)
+  lxmert       LXMERT capture + bi-modal generate_ours, B=8
+               (perturbation.py explain step, St=20 + Sv=36)
+  visual_bert  batched perturbation program: explain + 9-step image
+               perturbation, N=8 (evaluation_loop.py protocol,
+               St=128 + Nv=100)
+  frcnn        FRCNN VG (ResNet-101-C4) detection at 800x1216
+               (processing_image.py resize target)
+
+Each family prints one JSON line ``{"family", "ms_per_call",
+"ms_per_unit", "unit", ...}``. Weights are random — throughput does
+not depend on values. ``--tiny`` shrinks every config so the script
+smoke-runs on CPU (used by tests).
+
+Timing is pipelined host-readback (depth 3), same methodology as
+``bench.py``: every output crosses back to the host, so numbers are
+sustained end-to-end throughput including the tunnel round-trip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Callable, Sequence
+
+import numpy as np
+
+ALL_FAMILIES = ("clip", "detr", "lxmert", "visual_bert", "frcnn")
+
+
+def sustained_ms(fn: Callable, args: tuple, iters: int,
+                 depth: int = 3) -> float:
+    """Pipelined host-readback timing -> milliseconds per call."""
+    import jax
+
+    read = lambda out: jax.tree.map(np.asarray, out)
+    read(fn(*args))  # warm / compile
+    inflight = []
+    t0 = time.time()
+    for _ in range(iters):
+        inflight.append(fn(*args))
+        if len(inflight) >= depth:
+            read(inflight.pop(0))
+    for out in inflight:
+        read(out)
+    return (time.time() - t0) / iters * 1e3
+
+
+def bench_clip(tiny: bool, iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.explain import clip as eclip
+    from transformer_mm_explainability_tpu.models import clip as mclip
+
+    if tiny:
+        cfg = mclip.CLIPConfig(
+            embed_dim=32, image_resolution=32, vision_layers=2,
+            vision_width=64, vision_patch_size=16, context_length=16,
+            vocab_size=512, transformer_width=32, transformer_heads=2,
+            transformer_layers=2)
+    else:
+        cfg = mclip.CLIP_VIT_B_32
+    params = mclip.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    n_texts = 4
+    image = jnp.asarray(rs.randn(cfg.image_resolution, cfg.image_resolution,
+                                 3).astype(np.float32))
+    tokens = np.zeros((n_texts, cfg.context_length), np.int32)
+    tokens[:, 0] = 1
+    lengths = rs.randint(4, cfg.context_length - 1, n_texts)
+    for i, n in enumerate(lengths):
+        tokens[i, 1:n] = rs.randint(2, cfg.vocab_size - 1, n - 1)
+        tokens[i, n] = cfg.vocab_size - 1  # EOT (argmax index)
+    f = jax.jit(lambda p, im, tk: eclip.interpret(p, im, tk, cfg))
+    ms = sustained_ms(f, (params, image, jnp.asarray(tokens)), iters)
+    return {"family": "clip", "ms_per_call": round(ms, 2),
+            "ms_per_unit": round(ms / n_texts, 2), "unit": "text",
+            "n": n_texts}
+
+
+def bench_detr(tiny: bool, iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.explain import detr as edetr
+    from transformer_mm_explainability_tpu.models import detr as mdetr
+
+    if tiny:
+        cfg = mdetr.DETRConfig(num_classes=91, num_queries=10, d_model=64,
+                               nheads=8, num_encoder_layers=2,
+                               num_decoder_layers=2, dim_feedforward=128)
+        H, W, K = 64, 96, 2
+    else:
+        cfg = mdetr.DETR_R50
+        H, W, K = 512, 672, 4
+    params = mdetr.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    image = jnp.asarray(rs.randn(H, W, 3).astype(np.float32))
+    tq = jnp.asarray(rs.choice(cfg.num_queries, K, replace=False))
+    tc = jnp.asarray(rs.randint(0, cfg.num_classes, K))
+    f = jax.jit(lambda p, im, q, c: edetr.generate_ours(p, im, q, c, cfg))
+    ms = sustained_ms(f, (params, image, tq, tc), iters)
+    return {"family": "detr", "ms_per_call": round(ms, 2),
+            "ms_per_unit": round(ms / K, 2), "unit": "query",
+            "n": K, "hw": [H, W]}
+
+
+def bench_lxmert(tiny: bool, iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.explain import lxmert as elx
+    from transformer_mm_explainability_tpu.models import lxmert as mlx
+
+    if tiny:
+        cfg = mlx.LxmertConfig(hidden_size=32, num_attention_heads=2,
+                               intermediate_size=64, l_layers=2,
+                               x_layers=1, r_layers=1,
+                               vocab_size=256, num_qa_labels=16)
+        B, St, Sv = 2, 8, 6
+    else:
+        cfg = mlx.LXMERT_VQA
+        B, St, Sv = 8, 20, 36
+    params = mlx.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rs.randint(0, cfg.vocab_size, (B, St)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((B, St), jnp.int32),
+        "visual_feats": jnp.asarray(
+            rs.randn(B, Sv, cfg.visual_feat_dim).astype(np.float32)),
+        "visual_pos": jnp.asarray(rs.rand(B, Sv, 4).astype(np.float32)),
+    }
+
+    def explain(p, b):
+        scores, attn, grads = mlx.capture(p, b, None, cfg)
+        return scores, elx.generate_ours(attn, grads)
+
+    f = jax.jit(explain)
+    ms = sustained_ms(f, (params, batch), iters)
+    return {"family": "lxmert", "ms_per_call": round(ms, 2),
+            "ms_per_unit": round(ms / B, 2), "unit": "sample", "n": B}
+
+
+def bench_visual_bert(tiny: bool, iters: int) -> dict:
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.harness.pert_runner import (
+        VisualBertPerturbationRunner)
+    from transformer_mm_explainability_tpu.models import visual_bert as vb
+
+    import jax
+
+    if tiny:
+        from transformer_mm_explainability_tpu.models.bert import BertConfig
+        cfg = vb.VisualBERTConfig(
+            bert=BertConfig(vocab_size=256, hidden_size=32,
+                            num_hidden_layers=2, num_attention_heads=2,
+                            intermediate_size=64),
+            visual_embedding_dim=64, num_labels=16)
+        N, St, Nv = 2, 12, 8
+    else:
+        cfg = vb.VISUAL_BERT_VQA2
+        N, St, Nv = 8, 128, 100
+    params = vb.init_params(jax.random.PRNGKey(0), cfg)
+    runner = VisualBertPerturbationRunner(params, cfg,
+                                          method="ours_no_lrp")
+    rs = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rs.randint(0, cfg.bert.vocab_size,
+                                            (N, St)), jnp.int32),
+        "input_mask": jnp.ones((N, St), jnp.int32),
+        "visual_embeddings": jnp.asarray(
+            rs.randn(N, Nv, cfg.visual_embedding_dim).astype(np.float32)),
+    }
+    soft = rs.rand(N, cfg.num_labels).astype(np.float32)
+    fn = lambda p, b, s: runner._program(p, b, s)
+    ms = sustained_ms(fn, (params, batch, jnp.asarray(soft)), iters)
+    n_steps = len(runner.steps)
+    return {"family": "visual_bert_pert", "ms_per_call": round(ms, 2),
+            "ms_per_unit": round(ms / N, 2),
+            "unit": f"sample (explain + {n_steps}-step image pert)",
+            "n": N}
+
+
+def bench_frcnn(tiny: bool, iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.models import frcnn
+
+    if tiny:
+        cfg = frcnn.FrcnnConfig(
+            stages=(1, 1, 1, 1), pre_nms_topk=64, post_nms_topk=16,
+            max_detections=4, num_classes=10, num_attrs=10)
+        H, W = 64, 96
+    else:
+        cfg = frcnn.FRCNN_VG
+        H, W = 800, 1216
+    params = frcnn.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    image = jnp.asarray(rs.randn(H, W, 3).astype(np.float32))
+    f = jax.jit(lambda p, im: frcnn.forward(p, im, cfg))
+    ms = sustained_ms(f, (params, image), iters)
+    return {"family": "frcnn", "ms_per_call": round(ms, 2),
+            "ms_per_unit": round(ms, 2), "unit": "image", "n": 1,
+            "hw": [H, W]}
+
+
+BENCHES = {
+    "clip": bench_clip,
+    "detr": bench_detr,
+    "lxmert": bench_lxmert,
+    "visual_bert": bench_visual_bert,
+    "frcnn": bench_frcnn,
+}
+
+
+def run(families: Sequence[str], tiny: bool, iters: int) -> list:
+    results = []
+    for fam in families:
+        res = BENCHES[fam](tiny, iters)
+        results.append(res)
+        print(json.dumps(res))
+    return results
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--families", nargs="+", default=list(ALL_FAMILIES),
+                    choices=ALL_FAMILIES)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny configs (CPU smoke mode)")
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from transformer_mm_explainability_tpu.utils import tpu as tpu_util
+
+    if not args.tiny:
+        tpu_util.tpu_available() or tpu_util.ensure_tpu()
+    tpu_util.setup_compilation_cache()
+    run(args.families, args.tiny, args.iters)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
