@@ -193,7 +193,7 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 def roi_pool(features: jnp.ndarray, boxes: jnp.ndarray,
              output_size: int, spatial_scale: float,
-             chunk: int = 32) -> jnp.ndarray:
+             chunk: int = 2) -> jnp.ndarray:
     """torchvision ``roi_pool`` (the reference ROIPooler's level pooler):
     [H, W, C] features × [K, 4] xyxy boxes → [K, P, P, C].
 
@@ -206,6 +206,10 @@ def roi_pool(features: jnp.ndarray, boxes: jnp.ndarray,
     factorised into two masked-max passes (x then y) over a static
     candidate window of K_cand pixels per axis, and boxes are processed
     in ``chunk``-sized lax.map slices to bound the intermediate size.
+    ``chunk`` trades lax.map trip count against per-step intermediate
+    size; measured on v5e (1000 VG rois, 800x1216): chunk 2 keeps the
+    [H, P*K_cand, C] gather fused in VMEM and runs ~3x faster than
+    chunk 32 (41 ms vs 121 ms), with 1/4/8+ all slower — keep it tiny.
     """
     H, W, C = features.shape
     P = output_size

@@ -39,6 +39,23 @@ import numpy as np
 ALL_FAMILIES = ("clip", "detr", "lxmert", "visual_bert", "frcnn")
 
 
+def pack_outputs(out):
+    """Flatten a pytree of outputs into ONE device buffer.
+
+    The tunneled chip pays a host round-trip PER BUFFER fetched, so a
+    12-leaf output dict reads back as 12 serialized RTTs (~220 ms of
+    pure latency measured on FRCNN) even though the compiled HLO is
+    identical. Packing keeps the benchmark honest: every output byte
+    still crosses to the host, but in one transfer — measuring the
+    chip, not the tunnel's per-buffer latency.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.concatenate(
+        [l.astype(jnp.float32).ravel() for l in jax.tree.leaves(out)])
+
+
 def sustained_ms(fn: Callable, args: tuple, iters: int,
                  depth: int = 3) -> float:
     """Pipelined host-readback timing -> milliseconds per call."""
@@ -83,7 +100,8 @@ def bench_clip(tiny: bool, iters: int) -> dict:
     for i, n in enumerate(lengths):
         tokens[i, 1:n] = rs.randint(2, cfg.vocab_size - 1, n - 1)
         tokens[i, n] = cfg.vocab_size - 1  # EOT (argmax index)
-    f = jax.jit(lambda p, im, tk: eclip.interpret(p, im, tk, cfg))
+    f = jax.jit(lambda p, im, tk: pack_outputs(
+        eclip.interpret(p, im, tk, cfg)))
     ms = sustained_ms(f, (params, image, jnp.asarray(tokens)), iters)
     return {"family": "clip", "ms_per_call": round(ms, 2),
             "ms_per_unit": round(ms / n_texts, 2), "unit": "text",
@@ -110,7 +128,8 @@ def bench_detr(tiny: bool, iters: int) -> dict:
     image = jnp.asarray(rs.randn(H, W, 3).astype(np.float32))
     tq = jnp.asarray(rs.choice(cfg.num_queries, K, replace=False))
     tc = jnp.asarray(rs.randint(0, cfg.num_classes, K))
-    f = jax.jit(lambda p, im, q, c: edetr.generate_ours(p, im, q, c, cfg))
+    f = jax.jit(lambda p, im, q, c: pack_outputs(
+        edetr.generate_ours(p, im, q, c, cfg)))
     ms = sustained_ms(f, (params, image, tq, tc), iters)
     return {"family": "detr", "ms_per_call": round(ms, 2),
             "ms_per_unit": round(ms / K, 2), "unit": "query",
@@ -146,7 +165,7 @@ def bench_lxmert(tiny: bool, iters: int) -> dict:
 
     def explain(p, b):
         scores, attn, grads = mlx.capture(p, b, None, cfg)
-        return scores, elx.generate_ours(attn, grads)
+        return pack_outputs((scores, elx.generate_ours(attn, grads)))
 
     f = jax.jit(explain)
     ms = sustained_ms(f, (params, batch), iters)
@@ -186,7 +205,7 @@ def bench_visual_bert(tiny: bool, iters: int) -> dict:
             rs.randn(N, Nv, cfg.visual_embedding_dim).astype(np.float32)),
     }
     soft = rs.rand(N, cfg.num_labels).astype(np.float32)
-    fn = lambda p, b, s: runner._program(p, b, s)
+    fn = jax.jit(lambda p, b, s: pack_outputs(runner._program(p, b, s)))
     ms = sustained_ms(fn, (params, batch, jnp.asarray(soft)), iters)
     n_steps = len(runner.steps)
     return {"family": "visual_bert_pert", "ms_per_call": round(ms, 2),
@@ -212,7 +231,7 @@ def bench_frcnn(tiny: bool, iters: int) -> dict:
     params = frcnn.init_params(jax.random.PRNGKey(0), cfg)
     rs = np.random.RandomState(0)
     image = jnp.asarray(rs.randn(H, W, 3).astype(np.float32))
-    f = jax.jit(lambda p, im: frcnn.forward(p, im, cfg))
+    f = jax.jit(lambda p, im: pack_outputs(frcnn.forward(p, im, cfg)))
     ms = sustained_ms(f, (params, image), iters)
     return {"family": "frcnn", "ms_per_call": round(ms, 2),
             "ms_per_unit": round(ms, 2), "unit": "image", "n": 1,
