@@ -9,9 +9,12 @@ Reference: DETR/modules/ExplanationGenerator.py.
   cross-attention; output row R_qi[target_query].
 
 The reference re-runs a full fwd+bwd per kept detection (SURVEY.md
-§3.3 "HOT INNER LOOP"); here all K explained queries are batched into
-one jitted fwd+bwd by replicating the image along the batch axis with
-per-element one-hots — K relevancy maps per XLA dispatch.
+§3.3 "HOT INNER LOOP"); here all K explained queries share ONE forward
+of the image and a vmapped VJP over K one-hot cotangents
+(models/detr.capture_multi) — K relevancy maps per XLA dispatch at the
+cost of 1 forward + one K-batched backward. The LRP variants likewise
+tape the transformer once and vmap the per-query relprop over the K
+relevance seeds.
 """
 
 from __future__ import annotations
@@ -92,15 +95,10 @@ def generate_ours(
     normalize_self_attention: bool = True,
     apply_self_in_rule_10: bool = True,
 ) -> jnp.ndarray:
-    """K relevancy rows [K, S] in one batched fwd+bwd."""
-    K = target_queries.shape[0]
-    images = jnp.broadcast_to(image[None], (K,) + image.shape)
-    one_hot = jax.nn.one_hot(target_classes, cfg.num_classes + 1)
-    oh = jnp.zeros((K, cfg.num_queries, cfg.num_classes + 1))
-    oh = oh.at[jnp.arange(K), target_queries].set(one_hot)
-    masks = (None if pad_valid is None
-             else jnp.broadcast_to(pad_valid[None], (K,) + pad_valid.shape))
-    _, attn, grads = detr_model.capture(params, images, oh, masks, cfg)
+    """K relevancy rows [K, S]: one shared forward + K-batched VJP."""
+    oh = _one_hots(target_queries, target_classes, cfg)
+    _, attn, grads = detr_model.capture_multi(params, image, oh,
+                                              pad_valid, cfg)
     R_qi = _per_example(
         attn, grads,
         lambda a, g: relevancy_from_capture(
@@ -114,14 +112,9 @@ def generate_ours_no_agg(params, image, target_queries, target_classes,
                          normalize_self_attention: bool = False):
     """Ablation: overwrite instead of aggregate
     (GeneratorAlbationNoAgg, ExplanationGenerator.py:310-403)."""
-    K = target_queries.shape[0]
-    images = jnp.broadcast_to(image[None], (K,) + image.shape)
-    one_hot = jax.nn.one_hot(target_classes, cfg.num_classes + 1)
-    oh = jnp.zeros((K, cfg.num_queries, cfg.num_classes + 1))
-    oh = oh.at[jnp.arange(K), target_queries].set(one_hot)
-    masks = (None if pad_valid is None
-             else jnp.broadcast_to(pad_valid[None], (K,) + pad_valid.shape))
-    _, attn, grads = detr_model.capture(params, images, oh, masks, cfg)
+    oh = _one_hots(target_queries, target_classes, cfg)
+    _, attn, grads = detr_model.capture_multi(params, image, oh,
+                                              pad_valid, cfg)
     R_qi = _per_example(
         attn, grads,
         lambda a, g: relevancy_from_capture(
@@ -130,47 +123,47 @@ def generate_ours_no_agg(params, image, target_queries, target_classes,
                                axis=1)[:, 0]
 
 
-def _batched_targets(image, target_queries, target_classes, cfg,
-                     pad_valid):
-    """Replicate the image K times with per-element (query, class)
-    one-hots so K explanations ride one batch axis."""
+def _one_hots(target_queries, target_classes, cfg):
+    """[K, Q, C+1] per-query class one-hots (the VJP cotangents)."""
     K = target_queries.shape[0]
-    images = jnp.broadcast_to(image[None], (K,) + image.shape)
     one_hot = jax.nn.one_hot(target_classes, cfg.num_classes + 1)
     oh = jnp.zeros((K, cfg.num_queries, cfg.num_classes + 1))
-    oh = oh.at[jnp.arange(K), target_queries].set(one_hot)
-    masks = (None if pad_valid is None
-             else jnp.broadcast_to(pad_valid[None], (K,) + pad_valid.shape))
-    return images, oh, masks
+    return oh.at[jnp.arange(K), target_queries].set(one_hot)
 
 
-def _relprop_cams(params, images, oh, masks, cfg, image_shape,
-                  pad_valid=None):
-    """LRP relprop cams for the batched targets (recomputes the
-    transformer with a tape; models/detr_lrp.relprop)."""
+def _relprop_cams(params, image, oh, cfg, pad_valid=None):
+    """LRP relprop cams for K per-query seeds: the transformer is taped
+    ONCE (B=1) and the per-query relprop vmaps over the K one-hot
+    relevance seeds (models/detr_lrp.relprop)."""
     from transformer_mm_explainability_tpu.models import detr_lrp
     from transformer_mm_explainability_tpu.models import resnet
 
-    feats = resnet.forward(params["backbone"], images,
+    feats = resnet.forward(params["backbone"], image[None],
                            dilation_last=cfg.dilation)
-    Kb, Hf, Wf, C = feats.shape
-    src = feats.reshape(Kb, Hf * Wf, C) @ params["input_proj"]["w"] \
+    _, Hf, Wf, C = feats.shape
+    src = feats.reshape(1, Hf * Wf, C) @ params["input_proj"]["w"] \
         + params["input_proj"]["b"]
-    valid = (jnp.ones((Kb, Hf, Wf)) if pad_valid is None else
-             masks[:, ::image_shape[0] // Hf, ::image_shape[1] // Wf]
+    valid = (jnp.ones((1, Hf, Wf)) if pad_valid is None else
+             pad_valid[None][:, ::image.shape[0] // Hf,
+                             ::image.shape[1] // Wf]
              [:, :Hf, :Wf].astype(jnp.float32))
     pos = detr_model.sine_position_encoding(valid, cfg.d_model // 2)
-    pos = pos.reshape(Kb, Hf * Wf, cfg.d_model)
+    pos = pos.reshape(1, Hf * Wf, cfg.d_model)
     # same key-padding bias as the captured forward — the relprop tape
     # must come from the SAME program the gradients came from
     bias = (None if pad_valid is None else
-            ((1.0 - valid.reshape(Kb, Hf * Wf)) * -1e9)
+            ((1.0 - valid.reshape(1, Hf * Wf)) * -1e9)
             [:, None, None, :])
     hs, _, _, tape = detr_model.transformer_forward(
         params, src, pos, bias, cfg,
-        detr_model.zero_taps(cfg, Kb, Hf * Wf), return_tape=True)
-    _, cams = detr_lrp.relprop(params, tape, hs, oh, cfg)
-    return cams
+        detr_model.zero_taps(cfg, 1, Hf * Wf), return_tape=True)
+
+    def one(oh_k):
+        _, cams = detr_lrp.relprop(params, tape, hs, oh_k[None], cfg)
+        return cams
+
+    cams_k = jax.vmap(one)(oh)                     # leaves [K, L, 1, ...]
+    return DETRTaps(*(jnp.moveaxis(c[:, :, 0], 0, 1) for c in cams_k))
 
 
 def generate_ours_lrp(
@@ -181,11 +174,10 @@ def generate_ours_lrp(
 ):
     """'ours_with_lrp' (ExplanationGenerator.py:142-195 use_lrp=True):
     the propagation chain consumes relprop cams instead of raw A."""
-    images, oh, masks = _batched_targets(image, target_queries,
-                                         target_classes, cfg, pad_valid)
-    _, attn, grads = detr_model.capture(params, images, oh, masks, cfg)
-    cams = _relprop_cams(params, images, oh, masks, cfg, image.shape,
-                         pad_valid)
+    oh = _one_hots(target_queries, target_classes, cfg)
+    _, attn, grads = detr_model.capture_multi(params, image, oh,
+                                              pad_valid, cfg)
+    cams = _relprop_cams(params, image, oh, cfg, pad_valid)
     R_qi = _per_example(
         cams, grads,
         lambda a, g: relevancy_from_capture(
@@ -223,21 +215,19 @@ def generate(method: str, params, image, target_queries, target_classes,
         raise ValueError(
             f"unknown DETR explanation method {method!r}; valid: "
             f"{sorted(DETR_METHODS)}")
-    images, oh, masks = _batched_targets(image, target_queries,
-                                         target_classes, cfg, pad_valid)
+    oh = _one_hots(target_queries, target_classes, cfg)
     if method != "partial_lrp":
-        # partial_lrp consumes relprop cams only — skip the K-batched
-        # fwd+bwd capture its attn/grads would otherwise cost
-        _, attn, grads = detr_model.capture(params, images, oh, masks,
-                                            cfg)
+        # partial_lrp consumes relprop cams only — skip the capture
+        # whose attn/grads it would never read
+        _, attn, grads = detr_model.capture_multi(params, image, oh,
+                                                  pad_valid, cfg)
     if method == "raw_attn":
         return generate_raw_attn(attn, target_queries)
     if method == "attn_gradcam":
         return generate_attn_gradcam(attn, grads, target_queries)
     if method == "rollout":
         return generate_rollout(attn, target_queries)
-    cams = _relprop_cams(params, images, oh, masks, cfg, image.shape,
-                         pad_valid)
+    cams = _relprop_cams(params, image, oh, cfg, pad_valid)
     if method == "transformer_att":
         return generate_transformer_att(cams, grads, target_queries)
     return generate_partial_lrp(cams, target_queries)  # partial_lrp

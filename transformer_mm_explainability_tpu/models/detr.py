@@ -297,3 +297,46 @@ def capture(
     grads, out = jax.grad(score_fn, has_aux=True)(
         zero_taps(cfg, B, S, jnp.float32))
     return out, out["attn"], grads
+
+
+def capture_multi(
+    params: Dict[str, Any],
+    image: jnp.ndarray,                 # [H, W, 3] ONE image
+    one_hots: jnp.ndarray,              # [K, Q, C+1] per-query targets
+    pad_valid: Optional[jnp.ndarray] = None,   # [H, W] 1=valid
+    cfg: DETRConfig = DETR_R50,
+) -> Tuple[Dict[str, Any], DETRTaps, DETRTaps]:
+    """Shared-forward capture for K per-query explanations of ONE image.
+
+    ``capture`` batches K explanations by replicating the image on the
+    batch axis — K full forwards (backbone + encoder + decoder) of the
+    same pixels. Here the forward runs ONCE (B=1) and the K per-query
+    gradients come from a vmapped VJP over the K one-hot cotangents:
+    cost = 1 forward + one K-batched backward, and the backward stops
+    at the taps, so the backbone is never differentiated. Numerically
+    identical: ∂(pred_logits·oh)/∂taps IS the VJP with cotangent oh.
+    (TPU-native replacement for the reference's per-detection
+    re-forward loop, DETR/mask_generator.py:89-121.)
+
+    Returns ``(out, attn, grads)`` shaped like a K-batched ``capture``
+    (taps leaves [L, K, H, ...]); ``out`` leaves keep B=1.
+    """
+    Him, Wim, _ = image.shape
+    stride = 16 if cfg.dilation else 32
+    S = (Him // stride) * (Wim // stride)
+    K = one_hots.shape[0]
+    masks = None if pad_valid is None else pad_valid[None]
+
+    def f(taps):
+        out = forward(params, image[None], masks, cfg, taps)
+        return out["pred_logits"][0], out
+
+    _, vjp_fn, out = jax.vjp(f, zero_taps(cfg, 1, S, jnp.float32),
+                             has_aux=True)
+    grads_k = jax.vmap(lambda oh: vjp_fn(oh)[0])(one_hots)
+    unbatch = lambda g: jnp.moveaxis(g[:, :, 0], 0, 1)   # → [L, K, H, ...]
+    grads = DETRTaps(*(unbatch(g) for g in grads_k))
+    bcast = lambda a: jnp.broadcast_to(
+        a, (a.shape[0], K) + a.shape[2:])
+    attn = DETRTaps(*(bcast(a) for a in out["attn"]))
+    return out, attn, grads
