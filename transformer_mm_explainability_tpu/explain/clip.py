@@ -39,20 +39,36 @@ def interpret(
     logits_per_image [B, B])``.
     """
     B = tokens.shape[0]
-    images = jnp.broadcast_to(image[None], (B,) + image.shape)
     if start_layer == -1:
         start_layer = cfg.vision_layers - 1
     if start_layer_text == -1:
         start_layer_text = cfg.transformer_layers - 1
 
-    def score_fn(taps):
-        lpi, _, (v_attn, t_attn) = clip_model.forward(
-            params, images, tokens, cfg, taps
-        )
-        return jnp.diag(lpi).sum(), (lpi, v_attn, t_attn)
+    # Shared-forward capture: the reference (and the notebook) repeats
+    # the image B times and takes diag(logits) — B identical vision
+    # forwards. Here each tower is taped ONCE; the per-text image
+    # gradients come from a vmapped VJP over the B one-hot logit
+    # cotangents (1 vision forward + one B-batched backward), and the
+    # text gradients from a single VJP with an all-ones cotangent
+    # (text b only influences logit b, so Σ_b d logit_b/d taps_text
+    # IS the per-text gradient stack).
+    taps0 = clip_model.zero_taps(cfg, 1, B, image.dtype)
+    img_feat, v_vjp, v_attn = jax.vjp(
+        lambda tv: clip_model.encode_image(params, image[None], cfg, tv),
+        taps0.visual, has_aux=True)
+    txt_feat, t_vjp, t_attn = jax.vjp(
+        lambda tt: clip_model.encode_text(params, tokens, cfg, tt),
+        taps0.text, has_aux=True)
 
-    taps0 = clip_model.zero_taps(cfg, B, B, image.dtype)
-    grads, (lpi, v_attn, t_attn) = jax.grad(score_fn, has_aux=True)(taps0)
+    def head(img_feat, txt_feat):
+        imf = img_feat / jnp.linalg.norm(img_feat, axis=-1, keepdims=True)
+        txf = txt_feat / jnp.linalg.norm(txt_feat, axis=-1, keepdims=True)
+        return (jnp.exp(params["logit_scale"]) * imf @ txf.T)[0]  # [B]
+
+    logits, h_vjp = jax.vjp(head, img_feat, txt_feat)
+    d_img, d_txt = jax.vmap(h_vjp)(jnp.eye(B, dtype=logits.dtype))
+    v_grads = jax.vmap(lambda c: v_vjp(c)[0])(d_img)  # [B, L, 1, H, S, S]
+    t_grads = t_vjp(d_txt.sum(axis=0))[0]             # [L, B, H, S, S]
 
     def img_rel(a, g):
         return rl.self_attention_relevancy(a, g, start_layer=start_layer)
@@ -61,12 +77,15 @@ def interpret(
         return rl.self_attention_relevancy(a, g, start_layer=start_layer_text)
 
     R_img = jax.vmap(img_rel)(
-        jnp.moveaxis(v_attn, 1, 0), jnp.moveaxis(grads.visual, 1, 0)
+        jnp.broadcast_to(v_attn[:, 0][None], (B,) + v_attn[:, 0].shape),
+        v_grads[:, :, 0],
     )
     R_txt = jax.vmap(txt_rel)(
-        jnp.moveaxis(t_attn, 1, 0), jnp.moveaxis(grads.text, 1, 0)
+        jnp.moveaxis(t_attn, 1, 0), jnp.moveaxis(t_grads, 1, 0)
     )
     image_relevance = R_img[:, 0, 1:]
+    # all image rows are the one image: logits_per_image rows identical
+    lpi = jnp.broadcast_to(logits[None], (B, B))
     return R_txt, image_relevance, lpi
 
 
