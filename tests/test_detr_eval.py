@@ -1,6 +1,7 @@
 """End-to-end DETR explanation-segmentation eval on a synthetic
 mini-COCO (random weights — exercises the full protocol plumbing)."""
 
+import dataclasses
 import json
 
 import numpy as np
@@ -130,3 +131,20 @@ def test_unknown_segm_method_rejected():
             params, img, CFG,
             detr_segm.SegmConfig(confidence_threshold=0.0,
                                  max_detections=2, method="bogus"))
+
+
+def test_chunked_explain_matches_single_pass():
+    """max_queries_per_pass < K explains in chunks; relevancy rows and
+    masks must equal the one-pass result (each pass shares one forward
+    via capture_multi, so chunking is pure batching)."""
+    params = jdetr.init_params(jax.random.PRNGKey(0), CFG)
+    img = jnp.asarray(
+        np.random.RandomState(1).randn(64, 96, 3).astype(np.float32))
+    base = detr_segm.SegmConfig(confidence_threshold=0.0,
+                                max_detections=5, k_buckets=(5,),
+                                max_queries_per_pass=32)
+    chunked = dataclasses.replace(base, max_queries_per_pass=2)
+    a = detr_segm.explain_image(params, img, CFG, base)
+    b = detr_segm.explain_image(params, img, CFG, chunked)
+    np.testing.assert_array_equal(a["query_idx"], b["query_idx"])
+    np.testing.assert_allclose(a["masks"], b["masks"], atol=1e-6)

@@ -42,6 +42,12 @@ class SegmConfig:
     # blow the attention-tap memory; the bucket ladder bounds the
     # number of compiled shapes
     k_buckets: Tuple[int, ...] = (4, 8, 16, 32, 64, 100)
+    # crowded images are explained in passes of ≤ this many queries:
+    # the per-query gradient taps are [L, K, H, S, S] and at the
+    # protocol's 800px (S≈850) K=64 alone needs ~9 GB — beyond what
+    # one v5e chip can hold alongside the forward residuals. Each pass
+    # still shares one forward (models/detr.capture_multi).
+    max_queries_per_pass: int = 32
 
 
 def keep_detections(pred_logits: np.ndarray, threshold: float,
@@ -97,8 +103,26 @@ def explain_image(
                  segm_cfg.max_detections)
     q, c, valid = q[:k_pad], c[:k_pad], valid[:k_pad]
 
-    rel = expl_detr.generate(segm_cfg.method, params, image,
-                             jnp.asarray(q), jnp.asarray(c), cfg, pad_valid)
+    # crowded images: explain in ≤max_queries_per_pass chunks so the
+    # [L, K, H, S, S] gradient taps fit in HBM (each pass shares one
+    # forward via capture_multi)
+    chunk = max(1, segm_cfg.max_queries_per_pass)
+    if k_pad <= chunk:
+        rel = expl_detr.generate(segm_cfg.method, params, image,
+                                 jnp.asarray(q), jnp.asarray(c), cfg,
+                                 pad_valid)
+    else:
+        parts = []
+        for s in range(0, k_pad, chunk):
+            e = min(s + chunk, k_pad)
+            qs = np.zeros((chunk,), np.int32)
+            cs = np.zeros((chunk,), np.int32)
+            qs[:e - s], cs[:e - s] = q[s:e], c[s:e]
+            part = expl_detr.generate(
+                segm_cfg.method, params, image, jnp.asarray(qs),
+                jnp.asarray(cs), cfg, pad_valid)
+            parts.append(part[:e - s])
+        rel = jnp.concatenate(parts, axis=0)
 
     Hf, Wf = out["feat_hw"]
     H, W = image.shape[:2]
