@@ -99,6 +99,39 @@ def test_run_loop_aggregates(capsys):
     assert "step_accuracies" in text and "auc" in text
 
 
+def test_run_loop_double_buffered_async_runner():
+    """run_loop keeps one batch in flight via submit_batched and must
+    still trim padding, settle the final pending batch, and sum per-
+    sample accuracies exactly — checked with distinct per-sample rows
+    and a deliberately lazy (device-like) return object."""
+    calls = []
+
+    class Lazy:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __array__(self, dtype=None, copy=None):
+            return self.arr
+
+    class Fake:
+        steps = (0.0, 0.5, 1.0)
+
+        def submit_batched(self, batch, soft):
+            calls.append(len(batch["x"]))
+            # row i's accuracy vector encodes its sample id (soft[i,0])
+            return Lazy(np.repeat(soft[:, :1], 3, axis=1))
+
+    # 5 samples, batch_size 2 -> batches of 2,2,1(padded to 2)
+    samples = [({"x": np.zeros((1, 2))}, np.full(3, float(i)))
+               for i in range(5)]
+    out = run_loop(Fake(), samples, 5, batch_size=2,
+                   printer=lambda *a: None)
+    # padding row (repeat of sample 4) must NOT be counted:
+    # mean of 0..4 = 2.0 per step
+    np.testing.assert_allclose(out, [2.0, 2.0, 2.0])
+    assert calls == [2, 2, 2]  # last call padded to the compiled shape
+
+
 def test_visual_bert_batched_matches_per_sample():
     cfg = vb.VisualBERTConfig(
         bert=jbert.BertConfig(vocab_size=80, hidden_size=32,

@@ -157,11 +157,17 @@ class VisualBertPerturbationRunner:
         scores, cam = self._explain(self.params, batch)
         return np.asarray(scores), np.asarray(cam)
 
+    def submit_batched(self, batch: Dict[str, jnp.ndarray],
+                       soft_targets) -> jnp.ndarray:
+        """Dispatch the batched program; returns the DEVICE array so
+        callers can overlap the next batch's host work with it."""
+        return self._program(self.params, batch,
+                             jnp.asarray(_as_2d(soft_targets)))
+
     def run_samples_batched(self, batch: Dict[str, jnp.ndarray],
                             soft_targets) -> np.ndarray:
         """N samples explained + perturbed in one program → [N, steps]."""
-        return np.asarray(self._program(
-            self.params, batch, jnp.asarray(_as_2d(soft_targets))))
+        return np.asarray(self.submit_batched(batch, soft_targets))
 
     def run_sample(self, batch: Dict[str, jnp.ndarray],
                    soft_targets) -> np.ndarray:
@@ -275,20 +281,35 @@ class LxmertPerturbationRunner:
         return (np.asarray(scores), np.asarray(cam_text),
                 np.asarray(cam_image))
 
+    def submit_batched(self, batch, soft_targets) -> jnp.ndarray:
+        """Device-array variant of run_samples_batched (see the
+        VisualBERT runner) — enables pipelined eval loops."""
+        return self._program(self.params, batch,
+                             jnp.asarray(_as_2d(soft_targets)))
+
     def run_samples_batched(self, batch, soft_targets) -> np.ndarray:
-        return np.asarray(self._program(
-            self.params, batch, jnp.asarray(_as_2d(soft_targets))))
+        return np.asarray(self.submit_batched(batch, soft_targets))
 
     def run_sample(self, batch, soft_targets) -> np.ndarray:
         return self.run_samples_batched(batch, soft_targets)[0]
 
 
 def _collate(buf):
-    """Stack single-sample (batch, soft) pairs into one N-batch."""
+    """Stack single-sample (batch, soft) pairs into one N-batch.
+
+    Host (numpy) samples — the real data-pipeline case — are stacked
+    on the host: one upload per key per batch instead of N small
+    device buffers plus a device-side concatenate. Samples that are
+    ALREADY device arrays are concatenated on-device: pulling them
+    back through np.asarray would round-trip every sample over the
+    interconnect."""
     batches, softs = zip(*buf)
     keys = batches[0].keys()
-    big = {k: jnp.concatenate([b[k] for b in batches], axis=0)
-           for k in keys}
+    big = {}
+    for k in keys:
+        leaves = [b[k] for b in batches]
+        xp = np if isinstance(leaves[0], np.ndarray) else jnp
+        big[k] = xp.concatenate(leaves, axis=0)
     return big, np.stack([np.asarray(s).reshape(-1) for s in softs])
 
 
@@ -302,35 +323,56 @@ def run_loop(runner, samples: Iterable, max_samples: int,
     n = 0
     buf = []
     last_print = 0
+    pending = None  # (device accs, k) — one batch kept in flight
 
-    def flush():
-        nonlocal totals, n, buf, last_print
-        if not buf:
+    def settle():
+        """Materialise the in-flight batch's accuracies."""
+        nonlocal totals, n, pending, last_print
+        if pending is None:
             return
-        k = len(buf)
-        padded = buf + [buf[-1]] * (batch_size - k)
-        big, softs = _collate(padded)
-        accs = runner.run_samples_batched(big, softs)[:k]
-        totals = accs.sum(axis=0) if totals is None else totals + accs.sum(axis=0)
+        dev, k = pending
+        pending = None
+        accs = np.asarray(dev)[:k]
+        totals = (accs.sum(axis=0) if totals is None
+                  else totals + accs.sum(axis=0))
         n += k
-        buf = []
         if n - last_print >= 100 or n >= max_samples:
             last_print = n
             running = totals / n
             printer(f"[{n}/{max_samples}] step accuracies: "
                     + " ".join(f"{a*100:.2f}" for a in running))
 
+    def flush():
+        """Submit the buffered samples, then settle the PREVIOUS batch
+        — the device computes batch i while the host collates and
+        uploads batch i+1 (double buffering)."""
+        nonlocal buf, pending
+        if not buf:
+            return
+        k = len(buf)
+        padded = buf + [buf[-1]] * (batch_size - k)
+        big, softs = _collate(padded)
+        # duck-typed runners without submit_batched run synchronously
+        submit = (runner.submit_batched
+                  if hasattr(runner, "submit_batched")
+                  else runner.run_samples_batched)
+        dev = submit(big, softs)
+        settle()
+        pending = (dev, k)
+        buf = []
+
+    admitted = 0
     for sample in samples:
         # never admit more than max_samples into the protocol — the
         # reference's loop is exact on --num-samples
-        if n + len(buf) >= max_samples:
+        if admitted >= max_samples:
             break
         buf.append(sample)
+        admitted += 1
         if len(buf) == batch_size:
             flush()
-        if n >= max_samples:
-            break
     flush()
+    settle()
     if totals is None:
         # zero usable samples (e.g. every img_id missing from the
         # features store) — report that instead of crashing
