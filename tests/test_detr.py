@@ -226,6 +226,52 @@ def test_full_detr_forward_shapes():
     assert out["attn"].enc_self.shape == (LE, 1, HEADS, 4, 4)  # 64/32=2 → S=4
 
 
+def test_capture_multi_matches_replicated_capture():
+    """The shared-forward K-batched VJP (capture_multi) must equal the
+    replicated-batch oracle (capture: image repeated K times, one
+    one-hot per batch row) on every tap family — pins the vmapped-VJP
+    cotangent wiring and the [L, K, H, ...] unbatch axes."""
+    params = jdetr.init_params(jax.random.PRNGKey(1), CFG)
+    img = jnp.asarray(
+        np.random.RandomState(1).randn(64, 64, 3).astype(np.float32))
+    tq = jnp.asarray([0, 3, 5])
+    tc = jnp.asarray([1, 4, 0])
+    oh = expl_detr._one_hots(tq, tc, CFG)
+    K = int(tq.shape[0])
+
+    out_m, attn_m, grads_m = jdetr.capture_multi(params, img, oh, None, CFG)
+    imgs = jnp.broadcast_to(img[None], (K,) + img.shape)
+    out_b, attn_b, grads_b = jdetr.capture(params, imgs, oh, None, CFG)
+
+    np.testing.assert_allclose(np.asarray(out_m["pred_logits"][0]),
+                               np.asarray(out_b["pred_logits"][0]),
+                               atol=1e-5)
+    for name, am, ab in zip(attn_m._fields, attn_m, attn_b):
+        np.testing.assert_allclose(np.asarray(am), np.asarray(ab),
+                                   atol=1e-5, err_msg=f"attn.{name}")
+    for name, gm, gb in zip(grads_m._fields, grads_m, grads_b):
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gb),
+                                   atol=1e-5, err_msg=f"grads.{name}")
+
+
+def test_relprop_cams_vmapped_equals_per_seed():
+    """vmapping relprop over the K one-hot seeds must equal K
+    independent single-seed relprops — guards against reintroducing a
+    batched relprop whose Add-rule renormalisation couples seeds
+    (axis-less sums mix relevance across the batch axis)."""
+    params = jdetr.init_params(jax.random.PRNGKey(2), CFG)
+    img = jnp.asarray(
+        np.random.RandomState(2).randn(64, 64, 3).astype(np.float32))
+    oh = expl_detr._one_hots(jnp.asarray([1, 4]), jnp.asarray([2, 6]), CFG)
+    cams_v = expl_detr._relprop_cams(params, img, oh, CFG)
+    for k in range(2):
+        cams_1 = expl_detr._relprop_cams(params, img, oh[k:k + 1], CFG)
+        for name, cv, c1 in zip(cams_v._fields, cams_v, cams_1):
+            np.testing.assert_allclose(
+                np.asarray(cv[:, k]), np.asarray(c1[:, 0]), atol=1e-6,
+                err_msg=f"cams.{name} seed {k}")
+
+
 def test_resnet_frozen_bn_math():
     p = {"weight": jnp.asarray([2.0]), "bias": jnp.asarray([1.0]),
          "mean": jnp.asarray([0.5]), "var": jnp.asarray([4.0])}

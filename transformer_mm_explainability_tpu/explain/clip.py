@@ -1,14 +1,18 @@
 """CLIP bi-modal relevancy (the notebook's ``interpret``), one XLA program.
 
 Reference: CLIP_explainability.ipynb cell 6 / CLIP/example.py:8-48.
-The torch version calls ``torch.autograd.grad(one_hot, [blk.attn_probs])``
-separately per block (12× image + 12× text backward passes per batch);
-here ONE ``jax.grad`` w.r.t. the stacked taps produces every layer's ∇A,
-and the relevancy chains run as ``lax.scan``s.
+The torch version repeats the image over the text batch and calls
+``torch.autograd.grad(one_hot, [blk.attn_probs])`` separately per block
+(12× image + 12× text backward passes per batch); here each tower is
+taped ONCE via ``jax.vjp`` — the per-text image ∇A stacks come from a
+vmapped VJP over the B one-hot logit cotangents, the text ∇A from one
+all-ones-cotangent VJP (text b only influences logit b) — and the
+relevancy chains run as ``lax.scan``s.
 
 Semantics preserved from the notebook:
-  * the single image is repeated over the text batch and the scalar is
-    the sum of the diagonal of ``logits_per_image`` — per-text one-hots;
+  * the scalar is the sum of the diagonal of ``logits_per_image`` over
+    the text batch — per-text one-hots (the image is NOT re-encoded
+    per text; logits for all texts come from the one taped forward);
   * ``start_layer``/``start_layer_text`` = -1 means "last layer only";
   * image relevancy is the CLS row minus CLS (``R[:, 0, 1:]``), text
     relevancy is the full per-text ``[S, S]`` matrix.

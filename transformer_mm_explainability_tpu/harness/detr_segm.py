@@ -101,12 +101,18 @@ def explain_image(
                    segm_cfg.max_detections]
     k_pad = next((b for b in sorted(buckets) if b >= n_kept),
                  segm_cfg.max_detections)
-    q, c, valid = q[:k_pad], c[:k_pad], valid[:k_pad]
 
     # crowded images: explain in ≤max_queries_per_pass chunks so the
     # [L, K, H, S, S] gradient taps fit in HBM (each pass shares one
     # forward via capture_multi)
     chunk = max(1, segm_cfg.max_queries_per_pass)
+    if k_pad > chunk:
+        # chunked mode compiles shape `chunk` and pads the final
+        # partial chunk itself — the bucket ladder only bounds
+        # single-pass shapes (rounding up to a bucket here could cost
+        # a whole extra all-padding pass)
+        k_pad = n_kept
+    q, c, valid = q[:k_pad], c[:k_pad], valid[:k_pad]
     if k_pad <= chunk:
         rel = expl_detr.generate(segm_cfg.method, params, image,
                                  jnp.asarray(q), jnp.asarray(c), cfg,

@@ -308,7 +308,10 @@ def _collate(buf):
     big = {}
     for k in keys:
         leaves = [b[k] for b in batches]
-        xp = np if isinstance(leaves[0], np.ndarray) else jnp
+        # decide per LEAF, not per first sample: a mixed buffer must
+        # not pull device arrays back to the host (np path) nor upload
+        # host samples one at a time (jnp path)
+        xp = np if all(isinstance(x, np.ndarray) for x in leaves) else jnp
         big[k] = xp.concatenate(leaves, axis=0)
     return big, np.stack([np.asarray(s).reshape(-1) for s in softs])
 
