@@ -96,11 +96,13 @@ def main():
                 continue
             f = feats[item["img_id"]]
             enc = tok.encode_vqa(item["sent"], max_len=20)
+            # host (numpy) samples: run_loop's collate stacks them on
+            # the host — one device upload per key per batch
             yield ({
-                "input_ids": jnp.asarray(enc["input_ids"][None]),
-                "attention_mask": jnp.asarray(enc["input_mask"][None]),
-                "visual_feats": jnp.asarray(f["features"][None]),
-                "visual_pos": jnp.asarray(f["boxes"][None]),
+                "input_ids": np.asarray(enc["input_ids"][None]),
+                "attention_mask": np.asarray(enc["input_mask"][None]),
+                "visual_feats": np.asarray(f["features"][None]),
+                "visual_pos": np.asarray(f["boxes"][None]),
             }, vocab.soft_scores(item.get("label", {})))
 
     run_loop(runner, gen(), args.num_samples)

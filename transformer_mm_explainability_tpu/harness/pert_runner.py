@@ -445,15 +445,16 @@ def run_from_args(args) -> int:
                     continue
                 f = feats[item["img_id"]]
                 enc = tok.encode_vqa(item["sent"], max_len=20)
+                # host (numpy) samples: _collate stacks them on the
+                # host, one device upload per key per batch
                 batch = {
-                    "input_ids": jnp.asarray(enc["input_ids"][None]),
-                    "attention_mask": jnp.asarray(enc["input_mask"][None]),
-                    "visual_feats": jnp.asarray(f["features"][None]),
-                    "visual_pos": jnp.asarray(f["boxes"][None]),
-                    "num_boxes": jnp.asarray([f["num_boxes"]], jnp.int32),
-                    "visual_mask": jnp.asarray(
-                        (np.arange(36) < f["num_boxes"])[None]
-                        .astype(np.int32)),
+                    "input_ids": np.asarray(enc["input_ids"][None]),
+                    "attention_mask": np.asarray(enc["input_mask"][None]),
+                    "visual_feats": np.asarray(f["features"][None]),
+                    "visual_pos": np.asarray(f["boxes"][None]),
+                    "num_boxes": np.asarray([f["num_boxes"]], np.int32),
+                    "visual_mask": (np.arange(36) < f["num_boxes"])[None]
+                    .astype(np.int32),
                 }
                 yield batch, vocab.soft_scores(item.get("label", {}))
     else:
@@ -476,14 +477,14 @@ def run_from_args(args) -> int:
                     continue
                 f = feats[item["img_id"]]
                 enc = tok.encode_vqa(item["sent"], max_len=128)
+                # host (numpy) samples — see the LXMERT branch above
                 batch = {
-                    "input_ids": jnp.asarray(enc["input_ids"][None]),
-                    "input_mask": jnp.asarray(enc["input_mask"][None]),
-                    "visual_embeddings": jnp.asarray(f["features"][None]),
-                    "num_boxes": jnp.asarray([f["num_boxes"]], jnp.int32),
-                    "visual_mask": jnp.asarray(
-                        (np.arange(100) < f["num_boxes"])[None]
-                        .astype(np.int32)),
+                    "input_ids": np.asarray(enc["input_ids"][None]),
+                    "input_mask": np.asarray(enc["input_mask"][None]),
+                    "visual_embeddings": np.asarray(f["features"][None]),
+                    "num_boxes": np.asarray([f["num_boxes"]], np.int32),
+                    "visual_mask": (np.arange(100) < f["num_boxes"])[None]
+                    .astype(np.int32),
                 }
                 yield batch, vocab.soft_scores(item.get("label", {}))
 
