@@ -219,3 +219,59 @@ def test_grad_cam():
     want = np.maximum((cam * w).mean(0), 0)
     got = np.asarray(rl.grad_cam(jnp.asarray(cam), jnp.asarray(grad)))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_handle_residual_valid_mask_matches_embedded_block():
+    """Padding-aware eq. 8+9: valid rows normalise exactly like the
+    unpadded computation; padded rows stay identity (inert) instead of
+    the 0/0 NaN that would poison downstream rule-10 matmuls."""
+    S, S_pad = 5, 9
+    R = rand(S, S, seed=30, positive=True) + np.eye(S, dtype=np.float32)
+    want = np.asarray(rl.handle_residual(jnp.asarray(R)))
+    # embed into a padded matrix: padded rows/cols are identity/zero,
+    # exactly what the aggregated chain produces for padded positions
+    R_pad = np.eye(S_pad, dtype=np.float32)
+    R_pad[:S, :S] = R
+    valid = (np.arange(S_pad) < S).astype(np.float32)
+    got = np.asarray(
+        rl.handle_residual(jnp.asarray(R_pad), jnp.asarray(valid)))
+    assert not np.isnan(got).any()
+    np.testing.assert_allclose(got[:S, :S], want, atol=1e-6)
+    np.testing.assert_allclose(got[S:], np.eye(S_pad)[S:], atol=0)
+    np.testing.assert_allclose(got[:S, S:], 0.0, atol=0)
+
+
+def test_handle_residual_valid_mask_keeps_reference_nan():
+    """A VALID row with zero off-diagonal mass must still divide 0/0
+    (reference semantics: the NaN→0 guard then wipes the addition)."""
+    S = 4
+    R = np.eye(S, dtype=np.float32)
+    R[1, :] += [0.0, 0.0, 0.3, 0.7]          # row 1 has mass, row 0 none
+    valid = np.ones(S, np.float32)
+    got = np.asarray(rl.handle_residual(jnp.asarray(R), jnp.asarray(valid)))
+    assert np.isnan(got[0]).all()            # identity valid row → NaN
+    assert not np.isnan(got[1]).any()
+
+
+def test_apply_mm_attention_rules_valid_masks():
+    """Rule 10 on padded matrices + masks == rule 10 on the unpadded
+    block (padded Ê columns are exact zeros, like a masked softmax)."""
+    S, Q, S_pad, Q_pad = 4, 3, 7, 5
+    R_ss = rand(S, S, seed=31, positive=True) + np.eye(S, dtype=np.float32)
+    R_qq = rand(Q, Q, seed=32, positive=True) + np.eye(Q, dtype=np.float32)
+    cam = rand(S, Q, seed=33, positive=True)
+    want, _ = rl.apply_mm_attention_rules(
+        jnp.asarray(R_ss), jnp.asarray(R_qq), jnp.asarray(cam))
+    Rs = np.eye(S_pad, dtype=np.float32); Rs[:S, :S] = R_ss
+    Rq = np.eye(Q_pad, dtype=np.float32); Rq[:Q, :Q] = R_qq
+    c = np.zeros((S_pad, Q_pad), np.float32); c[:S, :Q] = cam
+    sv = (np.arange(S_pad) < S).astype(np.float32)
+    qv = (np.arange(Q_pad) < Q).astype(np.float32)
+    got, _ = rl.apply_mm_attention_rules(
+        jnp.asarray(Rs), jnp.asarray(Rq), jnp.asarray(c),
+        s_valid=jnp.asarray(sv), q_valid=jnp.asarray(qv))
+    got = np.asarray(got)
+    assert not np.isnan(got).any()
+    np.testing.assert_allclose(got[:S, :Q], np.asarray(want), atol=1e-6)
+    pad_mass = np.abs(got).sum() - np.abs(got[:S, :Q]).sum()
+    assert pad_mass == 0.0

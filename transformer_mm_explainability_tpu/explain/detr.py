@@ -38,9 +38,16 @@ def relevancy_from_capture(
     normalize_self_attention: bool = True,
     apply_self_in_rule_10: bool = True,
     aggregate: bool = True,
+    token_valid: Optional[jnp.ndarray] = None,  # [S] 1=real token
 ) -> jnp.ndarray:
     """Per-example propagation → full R_q_i [Q, S]. attn/grads leaves
-    are per-example ([L, H, ...])."""
+    are per-example ([L, H, ...]).
+
+    ``token_valid`` marks the real (non-padded) encoder tokens: padded
+    rows of R_ii stay identity rows whose plain eq.-8+9 division would
+    be 0/0 — without the mask one padded token NaN-poisons the rule-10
+    matmul and the nan→0 guard wipes EVERY cross-attention addition
+    (see ops/relevancy.handle_residual)."""
     S = attn.enc_self.shape[-1]
     Q = attn.dec_self.shape[-1]
     dt = attn.enc_self.dtype
@@ -68,6 +75,7 @@ def relevancy_from_capture(
             apply_normalization=normalize_self_attention,
             apply_self_in_rule_10=apply_self_in_rule_10,
             nan_to_zero=True,
+            q_valid=token_valid,
         )
         R_qi = (R_qi + add_qi) if aggregate else add_qi
         return (R_qq, R_qi), None
@@ -85,6 +93,17 @@ def _per_example(attn: DETRTaps, grads: DETRTaps, fn):
     return jax.vmap(fn)(batchify(attn), batchify(grads))
 
 
+def _token_valid(image: jnp.ndarray, pad_valid, cfg) -> Optional[jnp.ndarray]:
+    """pad_valid [H, W] → flattened [S] encoder-token mask, the same
+    strided downsample the captured forward uses (models/detr.forward)."""
+    if pad_valid is None:
+        return None
+    Him, Wim = image.shape[:2]
+    stride = 16 if cfg.dilation else 32
+    Hf, Wf = Him // stride, Wim // stride
+    return pad_valid[::Him // Hf, ::Wim // Wf][:Hf, :Wf].reshape(-1)
+
+
 def generate_ours(
     params: Dict[str, Any],
     image: jnp.ndarray,                 # [H, W, 3]
@@ -99,10 +118,12 @@ def generate_ours(
     oh = _one_hots(target_queries, target_classes, cfg)
     _, attn, grads = detr_model.capture_multi(params, image, oh,
                                               pad_valid, cfg)
+    tv = _token_valid(image, pad_valid, cfg)
     R_qi = _per_example(
         attn, grads,
         lambda a, g: relevancy_from_capture(
-            a, g, normalize_self_attention, apply_self_in_rule_10))
+            a, g, normalize_self_attention, apply_self_in_rule_10,
+            token_valid=tv))
     return jnp.take_along_axis(R_qi, target_queries[:, None, None],
                                axis=1)[:, 0]
 
@@ -115,10 +136,12 @@ def generate_ours_no_agg(params, image, target_queries, target_classes,
     oh = _one_hots(target_queries, target_classes, cfg)
     _, attn, grads = detr_model.capture_multi(params, image, oh,
                                               pad_valid, cfg)
+    tv = _token_valid(image, pad_valid, cfg)
     R_qi = _per_example(
         attn, grads,
         lambda a, g: relevancy_from_capture(
-            a, g, normalize_self_attention, True, aggregate=False))
+            a, g, normalize_self_attention, True, aggregate=False,
+            token_valid=tv))
     return jnp.take_along_axis(R_qi, target_queries[:, None, None],
                                axis=1)[:, 0]
 
@@ -178,10 +201,12 @@ def generate_ours_lrp(
     _, attn, grads = detr_model.capture_multi(params, image, oh,
                                               pad_valid, cfg)
     cams = _relprop_cams(params, image, oh, cfg, pad_valid)
+    tv = _token_valid(image, pad_valid, cfg)
     R_qi = _per_example(
         cams, grads,
         lambda a, g: relevancy_from_capture(
-            a, g, normalize_self_attention, apply_self_in_rule_10))
+            a, g, normalize_self_attention, apply_self_in_rule_10,
+            token_valid=tv))
     return jnp.take_along_axis(R_qi, target_queries[:, None, None],
                                axis=1)[:, 0]
 

@@ -17,7 +17,7 @@ Propagation order (matching the reference exactly):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +40,18 @@ def _avg(cam, grad):
 def _ours_single(attn: LxmertTaps, grads: LxmertTaps,
                  normalize_self_attention: bool = True,
                  apply_self_in_rule_10: bool = True,
-                 aggregate: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-example propagation. attn/grads leaves: [L, H, Sq, Sk]."""
+                 aggregate: bool = True,
+                 text_valid: Optional[jnp.ndarray] = None,
+                 visual_valid: Optional[jnp.ndarray] = None,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-example propagation. attn/grads leaves: [L, H, Sq, Sk].
+
+    ``text_valid`` [St] / ``visual_valid`` [Sv] mark real tokens/boxes:
+    with static-shape padding, padded rows of R stay identity rows whose
+    eq.-8+9 division is 0/0 — one padded position would NaN-poison the
+    whole bi-modal map through the rule-10 matmuls. The masks pin those
+    rows to identity instead (inert; see ops/relevancy.handle_residual).
+    The reference never needs this because its shapes are dynamic."""
     St = attn.lang.shape[-1]
     Sv = attn.visn.shape[-1]
     dt = attn.lang.dtype
@@ -84,11 +94,13 @@ def _ours_single(attn: LxmertTaps, grads: LxmertTaps,
             s.R_t_t, s.R_i_i, cam_t_i, R_qs=s.R_i_t,
             apply_normalization=normalize_self_attention,
             apply_self_in_rule_10=apply_self_in_rule_10,
+            s_valid=text_valid, q_valid=visual_valid,
         )
         R_i_t_add, R_i_i_add = rl.apply_mm_attention_rules(
             s.R_i_i, s.R_t_t, cam_i_t, R_qs=s.R_t_i,
             apply_normalization=normalize_self_attention,
             apply_self_in_rule_10=apply_self_in_rule_10,
+            s_valid=visual_valid, q_valid=text_valid,
         )
         if aggregate:
             s = BiModalState(
@@ -118,6 +130,7 @@ def _ours_single(attn: LxmertTaps, grads: LxmertTaps,
         s.R_t_t, s.R_i_i, cam_t_i, R_qs=s.R_i_t,
         apply_normalization=normalize_self_attention,
         apply_self_in_rule_10=apply_self_in_rule_10,
+        s_valid=text_valid, q_valid=visual_valid,
     )
     if aggregate:
         s = s._replace(R_t_t=s.R_t_t + R_t_t_add, R_t_i=s.R_t_i + R_t_i_add)
@@ -132,31 +145,42 @@ def _ours_single(attn: LxmertTaps, grads: LxmertTaps,
     return R_t_t, s.R_t_i
 
 
-def _vmap_over_batch(fn, attn: LxmertTaps, grads: LxmertTaps):
+def _vmap_over_batch(fn, attn: LxmertTaps, grads: LxmertTaps,
+                     text_valid=None, visual_valid=None):
     batchify = lambda taps: LxmertTaps(*(jnp.moveaxis(a, 1, 0) for a in taps))
-    return jax.vmap(fn)(batchify(attn), batchify(grads))
+    in_axes = (0, 0,
+               None if text_valid is None else 0,
+               None if visual_valid is None else 0)
+    return jax.vmap(fn, in_axes=in_axes)(
+        batchify(attn), batchify(grads), text_valid, visual_valid)
 
 
 def generate_ours(attn: LxmertTaps, grads: LxmertTaps,
                   normalize_self_attention: bool = True,
-                  apply_self_in_rule_10: bool = True
+                  apply_self_in_rule_10: bool = True,
+                  text_valid=None, visual_valid=None,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched (R_t_t [B,St,St], R_t_i [B,St,Sv])."""
+    """Batched (R_t_t [B,St,St], R_t_i [B,St,Sv]). ``text_valid``
+    [B,St] / ``visual_valid`` [B,Sv] mark real positions of padded
+    static-shape batches (see _ours_single)."""
     return _vmap_over_batch(
-        lambda a, g: _ours_single(a, g, normalize_self_attention,
-                                  apply_self_in_rule_10, aggregate=True),
-        attn, grads)
+        lambda a, g, tv, vv: _ours_single(
+            a, g, normalize_self_attention, apply_self_in_rule_10,
+            aggregate=True, text_valid=tv, visual_valid=vv),
+        attn, grads, text_valid, visual_valid)
 
 
 def generate_ours_no_agg(attn: LxmertTaps, grads: LxmertTaps,
-                         normalize_self_attention: bool = True
+                         normalize_self_attention: bool = True,
+                         text_valid=None, visual_valid=None,
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The no-aggregation ablation (= overwrites instead of +=,
     ExplanationGenerator.py:215-365)."""
     return _vmap_over_batch(
-        lambda a, g: _ours_single(a, g, normalize_self_attention,
-                                  True, aggregate=False),
-        attn, grads)
+        lambda a, g, tv, vv: _ours_single(
+            a, g, normalize_self_attention, True, aggregate=False,
+            text_valid=tv, visual_valid=vv),
+        attn, grads, text_valid, visual_valid)
 
 
 def generate_raw_attn(attn: LxmertTaps) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -180,14 +204,15 @@ def generate_attn_gradcam(attn: LxmertTaps, grads: LxmertTaps
 
 def generate_ours_lrp(cams: LxmertTaps, grads: LxmertTaps,
                       normalize_self_attention: bool = True,
-                      apply_self_in_rule_10: bool = True
+                      apply_self_in_rule_10: bool = True,
+                      text_valid=None, visual_valid=None,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """'ours' with use_lrp=True: identical propagation but Ê is built
     from the relprop cams instead of raw attention probabilities
     (ExplanationGenerator.py:64-67 et al.). ``cams`` comes from
     models.lxmert_lrp.relprop."""
     return generate_ours(cams, grads, normalize_self_attention,
-                         apply_self_in_rule_10)
+                         apply_self_in_rule_10, text_valid, visual_valid)
 
 
 def _minmax(x):

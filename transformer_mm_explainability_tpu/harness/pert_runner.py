@@ -216,22 +216,33 @@ class LxmertPerturbationRunner:
                     params, out["tape"], one_hot,
                     out["tape"]["lang_mask"], out["tape"]["visn_mask"],
                     cfg)
+            # static-shape padding masks: without them one padded
+            # token/box NaN-poisons the normalized bi-modal chain
+            tv = batch["attention_mask"]
+            vv = batch.get("visual_mask")
             if method == "ours_no_lrp":
-                tt, ti = elx.generate_ours(attn, grads)
+                tt, ti = elx.generate_ours(attn, grads,
+                                           text_valid=tv, visual_valid=vv)
             elif method == "ours_no_lrp_no_norm":
                 tt, ti = elx.generate_ours(
-                    attn, grads, normalize_self_attention=False)
+                    attn, grads, normalize_self_attention=False,
+                    text_valid=tv, visual_valid=vv)
             elif method == "ablation_no_self_in_10":
                 tt, ti = elx.generate_ours(
-                    attn, grads, apply_self_in_rule_10=False)
+                    attn, grads, apply_self_in_rule_10=False,
+                    text_valid=tv, visual_valid=vv)
             elif method == "ablation_no_aggregation":
                 tt, ti = elx.generate_ours_no_agg(
-                    attn, grads, normalize_self_attention=False)
+                    attn, grads, normalize_self_attention=False,
+                    text_valid=tv, visual_valid=vv)
             elif method == "ours_with_lrp":
-                tt, ti = elx.generate_ours_lrp(cams, grads)
+                tt, ti = elx.generate_ours_lrp(cams, grads,
+                                               text_valid=tv,
+                                               visual_valid=vv)
             elif method == "ours_with_lrp_no_normalization":
                 tt, ti = elx.generate_ours_lrp(
-                    cams, grads, normalize_self_attention=False)
+                    cams, grads, normalize_self_attention=False,
+                    text_valid=tv, visual_valid=vv)
             elif method == "transformer_att":
                 tt, ti = elx.generate_transformer_att(cams, grads)
             elif method == "partial_lrp":

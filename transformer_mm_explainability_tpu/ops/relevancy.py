@@ -76,17 +76,34 @@ def apply_self_attention_rules(
     return cam_ss @ R_ss, cam_ss @ R_sq
 
 
-def handle_residual(R: jnp.ndarray) -> jnp.ndarray:
+def handle_residual(R: jnp.ndarray,
+                    valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Eq. 8+9: row-normalise the off-diagonal relevancy mass.
 
     R̂ = R − I;  R̂ ← R̂ / Σ_k R̂[·,k];  return R̂ + I
     (lxmert ExplanationGenerator.py:45-54). Mirrors the reference's plain
     division: a zero row sum yields NaN, which callers of rule 10 guard
     with a NaN→0 mask exactly where the reference does.
+
+    ``valid`` ([S] 1=real token) exists because this framework keeps
+    static shapes: the reference's dynamic shapes never see padding, but
+    here padded queries have all-zero Ê rows for every layer, so their
+    aggregated R rows stay identity rows whose off-diagonal mass is 0 —
+    the plain division would turn them into NaN rows that then poison
+    every entry of the rule-10 matmuls (0·NaN = NaN). With ``valid``,
+    padded rows are pinned to identity (inert: rule 10's Ê columns for
+    padded keys are exact zeros, so identity rows never contribute)
+    while VALID rows keep the reference's plain division — including its
+    genuine 0/0 NaN on a real token whose Ê rows are all zero.
     """
     eye = jnp.eye(R.shape[-1], dtype=R.dtype)
     R_hat = R - eye
-    R_hat = R_hat / R_hat.sum(axis=-1, keepdims=True)
+    denom = R_hat.sum(axis=-1, keepdims=True)
+    if valid is not None:
+        v = valid.astype(R.dtype)[:, None]
+        R_hat = R_hat * v
+        denom = jnp.where(v > 0, denom, 1.0)
+    R_hat = R_hat / denom
     return R_hat + eye
 
 
@@ -98,6 +115,8 @@ def apply_mm_attention_rules(
     apply_normalization: bool = True,
     apply_self_in_rule_10: bool = True,
     nan_to_zero: bool = False,
+    s_valid: Optional[jnp.ndarray] = None,
+    q_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Rules 10+11: additive updates from a cross-modal attention layer.
 
@@ -109,9 +128,13 @@ def apply_mm_attention_rules(
     skipped and the second return value is ``None``. ``nan_to_zero``
     replicates DETR's ``R_sq_addition[isnan] = 0`` guard (:42).
     LXMERT's bi-modal variant is lxmert ExplanationGenerator.py:32-42.
+    ``s_valid``/``q_valid`` are the static-shape padding masks for the
+    two normalisations (see ``handle_residual``).
     """
-    R_ss_norm = handle_residual(R_ss) if apply_normalization else R_ss
-    R_qq_norm = handle_residual(R_qq) if apply_normalization else R_qq
+    R_ss_norm = (handle_residual(R_ss, s_valid)
+                 if apply_normalization else R_ss)
+    R_qq_norm = (handle_residual(R_qq, q_valid)
+                 if apply_normalization else R_qq)
     R_sq_addition = R_ss_norm.T @ (cam_sq @ R_qq_norm)
     if not apply_self_in_rule_10:
         R_sq_addition = cam_sq
