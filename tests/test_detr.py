@@ -286,3 +286,76 @@ def test_resnet50_output_shape():
     x = jnp.zeros((1, 64, 64, 3))
     feats = jresnet.forward(params, x)
     assert feats.shape == (1, 2, 2, 2048)
+
+
+def test_relevancy_padded_taps_match_tight_block():
+    """Padding equivalence of the propagation math itself: taps embedded
+    in a padded token axis (padded E-hat rows/cols exactly zero, the
+    shape the masked softmax + zero-grad capture produces) + token_valid
+    must reproduce the tight-shape computation in the valid block, carry
+    exactly zero relevancy in padded columns, and stay NaN-free."""
+    L, H, Sr, Sp, Qn = 2, 3, 5, 8, 6
+    rng = np.random.RandomState(7)
+    pos = lambda *s: rng.rand(*s).astype(np.float32) + 0.1
+
+    enc_a, enc_g = pos(L, H, Sr, Sr), pos(L, H, Sr, Sr)
+    dec_a, dec_g = pos(L, H, Qn, Qn), pos(L, H, Qn, Qn)
+    crx_a, crx_g = pos(L, H, Qn, Sr), pos(L, H, Qn, Sr)
+
+    def pad_ss(x):
+        out = np.zeros((L, H, Sp, Sp), np.float32)
+        out[..., :Sr, :Sr] = x
+        return jnp.asarray(out)
+
+    def pad_qs(x):
+        out = np.zeros((L, H, Qn, Sp), np.float32)
+        out[..., :Sr] = x
+        return jnp.asarray(out)
+
+    tight = jdetr.DETRTaps(enc_self=jnp.asarray(enc_a),
+                           dec_self=jnp.asarray(dec_a),
+                           dec_cross=jnp.asarray(crx_a))
+    tight_g = jdetr.DETRTaps(enc_self=jnp.asarray(enc_g),
+                             dec_self=jnp.asarray(dec_g),
+                             dec_cross=jnp.asarray(crx_g))
+    padded = jdetr.DETRTaps(enc_self=pad_ss(enc_a),
+                            dec_self=jnp.asarray(dec_a),
+                            dec_cross=pad_qs(crx_a))
+    padded_g = jdetr.DETRTaps(enc_self=pad_ss(enc_g),
+                              dec_self=jnp.asarray(dec_g),
+                              dec_cross=pad_qs(crx_g))
+    tv = jnp.asarray((np.arange(Sp) < Sr).astype(np.float32))
+
+    want = np.asarray(expl_detr.relevancy_from_capture(tight, tight_g))
+    got = np.asarray(expl_detr.relevancy_from_capture(
+        padded, padded_g, token_valid=tv))
+    assert not np.isnan(got).any()
+    np.testing.assert_allclose(got[:, :Sr], want, atol=1e-5)
+    np.testing.assert_allclose(got[:, Sr:], 0.0, atol=0)
+    assert np.abs(want).sum() > 0
+
+
+def test_generate_ours_padded_image_nan_free():
+    """End-to-end padded-image explanation: pad_valid marks a sub-region
+    of a 64x64 canvas. Padded encoder tokens have identity R_ii rows
+    whose plain eq. 8+9 division is 0/0 — without token_valid one padded
+    token NaN-poisons the whole rule-10 addition. With the mask the map
+    is NaN-free and padded-token columns carry exactly zero relevancy.
+    (At this tiny depth the valid entries are themselves zero — the
+    REFERENCE does the same: decoder layer-0 V=0 zeroes the self-attn
+    grads, handle_residual(I) NaNs and its isnan-wipe clears the layer's
+    cross addition; pinned by the synthetic-taps test above instead.)"""
+    params = jdetr.init_params(jax.random.PRNGKey(3), CFG)
+    img = np.zeros((64, 64, 3), np.float32)
+    img[:32, :64] = np.random.RandomState(3).randn(32, 64, 3)
+    pad_valid = jnp.asarray(
+        (np.arange(64) < 32)[:, None] * np.ones((1, 64)), jnp.float32)
+    tq = jnp.asarray([0, 3])
+    tc = jnp.asarray([1, 2])
+    R = np.asarray(expl_detr.generate_ours(
+        params, jnp.asarray(img), tq, tc, CFG, pad_valid=pad_valid))
+    assert R.shape == (2, 4)                      # S = (64/32)*(64/32)
+    assert not np.isnan(R).any()
+    tv = np.asarray(expl_detr._token_valid(jnp.asarray(img), pad_valid, CFG))
+    np.testing.assert_array_equal(tv, [1.0, 1.0, 0.0, 0.0])
+    np.testing.assert_allclose(R[:, tv == 0], 0.0, atol=0)
