@@ -21,6 +21,7 @@ sustained end-to-end throughput, not a device-only timer.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -29,6 +30,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_MAPS_PER_CHIP = 125.0
+
+_CHILD_ENV = "TMMX_BENCH_CHILD"
+
+
+def _run_attempts():
+    """Drive the measurement in timeout-guarded subprocesses.
+
+    A wedged chip claim makes ``jax.devices()`` block forever inside
+    native code (no exception to catch), which would hang the driver's
+    round-end bench run. So the parent process never touches jax: it
+    re-execs itself as a child (``TMMX_BENCH_CHILD=1``) with a hard
+    timeout, retries the TPU attempt once (transient claim races
+    resolve in seconds; a stale grant does not), then falls back to a
+    clean-CPU child (plugin unregistered via PALLAS_AXON_POOL_IPS
+    removal) so ONE JSON line is always emitted.
+    """
+    plans = [
+        (dict(os.environ), 1500),   # TPU attempt (cold remote compile ok)
+        (dict(os.environ), 600),    # retry: claim races resolve quickly
+    ]
+    cpu_env = {k: v for k, v in os.environ.items()
+               if k != "PALLAS_AXON_POOL_IPS"}
+    cpu_env["JAX_PLATFORMS"] = "cpu"
+    plans.append((cpu_env, 900))
+    for i, (env, timeout) in enumerate(plans):
+        env = dict(env)
+        env[_CHILD_ENV] = "1"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=timeout, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {i}: timed out after {timeout}s "
+                  f"(wedged chip claim?)", file=sys.stderr)
+            continue
+        line = next((l for l in proc.stdout.splitlines()
+                     if l.startswith("{")), None)
+        if proc.returncode == 0 and line:
+            if "JAX_PLATFORMS" in env and env["JAX_PLATFORMS"] == "cpu":
+                rec = json.loads(line)
+                rec["note"] = ("TPU unreachable after retries; "
+                               "CPU fallback numbers")
+                line = json.dumps(rec)
+            print(line)
+            return 0
+        print(f"bench attempt {i}: rc={proc.returncode}\n"
+              f"{proc.stderr[-2000:]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "ViT-B/16 relevancy maps/sec/chip",
+        "value": 0.0, "unit": "maps/sec/chip", "vs_baseline": 0.0,
+        "error": "all bench attempts failed (TPU unreachable and CPU "
+                 "fallback failed)"}))
+    return 1
 
 
 def _sustained(fn, args, iters: int, depth: int = 3) -> float:
@@ -54,7 +108,8 @@ def main():
 
     from transformer_mm_explainability_tpu.utils import tpu as tpu_util
 
-    on_tpu = tpu_util.tpu_available() or tpu_util.ensure_tpu()
+    on_tpu = tpu_util.tpu_available() or (
+        os.environ.get("JAX_PLATFORMS") != "cpu" and tpu_util.ensure_tpu())
 
     import jax.numpy as jnp
 
@@ -103,4 +158,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_CHILD_ENV) == "1":
+        main()
+    else:
+        sys.exit(_run_attempts())
