@@ -169,3 +169,47 @@ def test_frcnn_converter_roundtrip():
     out = frcnn.forward(params, img, cfg)
     assert out["roi_features"].shape == (4, 2048)
     assert np.isfinite(np.asarray(out["roi_features"])).all()
+
+
+def test_roi_pool_pallas_matches_xla():
+    """ops/roi_pool_pallas (VMEM-resident kernel, interpret mode here)
+    must be bit-exact vs the chunked-gather XLA path on random boxes
+    incl. tiny / clipped / degenerate ones, and through the padded
+    channel-tile path."""
+    from transformer_mm_explainability_tpu.ops import roi_pool_pallas as rpp
+
+    rng = np.random.RandomState(0)
+    H, W, C, P = 25, 38, 96, 14
+    feats = jnp.asarray(rng.randn(H, W, C).astype(np.float32))
+    scale = 1 / 16.0
+    b = rng.rand(11, 4).astype(np.float32)
+    x0 = b[:, 0] * W * 14; y0 = b[:, 1] * H * 14
+    boxes = np.stack([x0, y0, x0 + b[:, 2] * W * 10,
+                      y0 + b[:, 3] * H * 10], 1)
+    boxes[0] = [0, 0, 2, 2]                              # tiny
+    boxes[1] = [W * 16 - 3, H * 16 - 3, W * 16 + 50, H * 16 + 50]  # clipped
+    boxes[2] = [5, 5, 5, 5]                              # degenerate
+    boxes = jnp.asarray(boxes)
+
+    want = np.asarray(frcnn.roi_pool(feats, boxes, P, scale))
+    got = np.asarray(rpp.roi_pool_pallas(feats, boxes, P, scale))
+    np.testing.assert_array_equal(got, want)
+    got64 = np.asarray(rpp.roi_pool_pallas(feats, boxes, P, scale,
+                                           c_tile=64))
+    np.testing.assert_array_equal(got64, want)
+
+
+def test_frcnn_forward_pallas_roi_impl_matches():
+    """cfg.roi_pool_impl='pallas' end-to-end == the default path."""
+    import dataclasses
+
+    params = frcnn.init_params(jax.random.PRNGKey(0), TINY)
+    img = jnp.asarray(
+        np.random.RandomState(5).randn(64, 80, 3).astype(np.float32))
+    out_x = frcnn.forward(params, img, TINY)
+    out_p = frcnn.forward(
+        params, img, dataclasses.replace(TINY, roi_pool_impl="pallas"))
+    for k in out_x:
+        np.testing.assert_allclose(np.asarray(out_x[k]),
+                                   np.asarray(out_p[k]), atol=1e-5,
+                                   err_msg=k)

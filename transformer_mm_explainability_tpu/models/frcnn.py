@@ -83,6 +83,10 @@ class FrcnnConfig:
     # box transform weights (RPN.BBOX_REG_WEIGHTS / ROI_BOX_HEAD.*)
     rpn_box_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
     box_weights: Tuple[float, ...] = (10.0, 10.0, 5.0, 5.0)
+    # RoIPool implementation: "xla" (chunked lax.map gather) or
+    # "pallas" (VMEM-resident feature slab, ops/roi_pool_pallas.py);
+    # both are exactness-equivalent (tests/test_frcnn.py)
+    roi_pool_impl: str = "xla"
 
 
 FRCNN_VG = FrcnnConfig()
@@ -360,8 +364,14 @@ def forward(
     rois = top_boxes[keep_idx]                             # [post_nms, 4]
 
     # --- ROI heads: RoIPool + res5 (Res5ROIHeads :1415-1450) -----------------
-    pooled = roi_pool(feats, rois, cfg.pooler_resolution,
-                      1.0 / cfg.feat_stride)
+    if cfg.roi_pool_impl == "pallas":
+        from transformer_mm_explainability_tpu.ops import roi_pool_pallas
+
+        pooled = roi_pool_pallas.roi_pool_pallas(
+            feats, rois, cfg.pooler_resolution, 1.0 / cfg.feat_stride)
+    else:
+        pooled = roi_pool(feats, rois, cfg.pooler_resolution,
+                          1.0 / cfg.feat_stride)
     feat_vec = _res5_head(params, pooled, cfg)             # [post_nms, 2048]
     logits = feat_vec @ params["cls_score"]["w"] + params["cls_score"]["b"]
     scores = jax.nn.softmax(logits, -1)                    # [N, K+1], bg LAST

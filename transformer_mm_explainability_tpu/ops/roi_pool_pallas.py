@@ -1,0 +1,135 @@
+"""Pallas TPU kernel for torchvision-exact RoIPool.
+
+The XLA path (``models.frcnn.roi_pool``) re-gathers a per-box candidate
+window out of HBM for every ROI — at VG protocol shape (1000 rois,
+800×1216 image → [50, 76, 1024] res4 features) that is ~23 GB of HBM
+reads and measures 41 ms on a v5e chip, the single largest phase of the
+88 ms FRCNN forward. This kernel inverts the loop the TPU way:
+
+- grid = (C_tiles, K) with the box axis fastest, so the feature block's
+  ``index_map`` is constant across boxes and pallas keeps the whole
+  [H, W, C_T] slab **VMEM-resident** — HBM traffic drops to one read of
+  the feature map per channel tile plus the mandatory [K, P, P, C]
+  output write;
+- the 2D bin max is the same two masked-max passes (x then y) as the
+  XLA path, but the masks are additive 0/−inf rows precomputed in XLA
+  from the exact-integer bin bounds (``roi_bin_bounds``), so the kernel
+  body is pure VPU adds + max-reduces — no gathers at all.
+
+Semantics (shared with ``models.frcnn.roi_pool``, parity-tested in
+tests/test_frcnn.py): torchvision roi_pool — round()-quantised coords,
++1 width convention with min 1, bin p spans [floor(p·roi/P),
+ceil((p+1)·roi/P)) clipped to the map, empty bins yield 0. Reference:
+lxmert modeling_frcnn.py ROIPooler:1056 (torchvision RoIPool level
+pooler).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def roi_bin_bounds(
+    boxes: jnp.ndarray,          # [K, 4] xyxy, image scale
+    output_size: int,
+    spatial_scale: float,
+    H: int, W: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """torchvision roi_pool bin boundaries, exact integer arithmetic.
+
+    Returns (hs, he, ws, we) int32 [K, P]: bin p covers rows
+    [hs, he) × cols [ws, we) of the feature map. Equal to torch's f32
+    ``bin_size`` products for every feasible (p, roi, P) and immune to
+    XLA's f32 division being 1 ulp off torch's (see
+    models/frcnn.roi_pool, whose per-box math this vectorises).
+    """
+    P = output_size
+    q = jnp.floor(boxes * spatial_scale + 0.5).astype(jnp.int32)
+    x0, y0, x1, y1 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    roi_w = jnp.maximum(x1 - x0 + 1, 1)
+    roi_h = jnp.maximum(y1 - y0 + 1, 1)
+    pi = jnp.arange(P, dtype=jnp.int32)[None, :]
+    hs = jnp.clip((pi * roi_h[:, None]) // P + y0[:, None], 0, H)
+    he = jnp.clip(((pi + 1) * roi_h[:, None] + P - 1) // P + y0[:, None],
+                  0, H)
+    ws = jnp.clip((pi * roi_w[:, None]) // P + x0[:, None], 0, W)
+    we = jnp.clip(((pi + 1) * roi_w[:, None] + P - 1) // P + x0[:, None],
+                  0, W)
+    return hs, he, ws, we
+
+
+def _kernel(mx_ref, my_ref, f_ref, o_ref, t1_ref):
+    """One (channel-tile, box) step.
+
+    mx_ref [1, P, W] / my_ref [1, P, H]: additive 0/−inf bin masks.
+    f_ref [H, W, C_T]: feature slab (VMEM-resident across boxes).
+    o_ref [1, P, P, C_T]; t1_ref [H, P, C_T] scratch.
+    """
+    P = mx_ref.shape[1]
+    f = f_ref[...]
+    for p in range(P):                       # static unroll (P=14)
+        m = mx_ref[0, p, :]                  # [W]
+        t1_ref[:, p, :] = jnp.max(f + m[None, :, None], axis=1)
+    t1 = t1_ref[...]                         # [H, P, C_T]
+    for q in range(P):
+        m = my_ref[0, q, :]                  # [H]
+        o = jnp.max(t1 + m[:, None, None], axis=0)        # [P, C_T]
+        # empty / fully-clipped bins are all-masked → −inf → 0, the
+        # torchvision convention
+        o_ref[0, q] = jnp.where(jnp.isfinite(o), o, 0.0)
+
+
+def roi_pool_pallas(
+    features: jnp.ndarray,       # [H, W, C]
+    boxes: jnp.ndarray,          # [K, 4] xyxy
+    output_size: int,
+    spatial_scale: float,
+    c_tile: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:                # [K, P, P, C]
+    """Drop-in replacement for ``models.frcnn.roi_pool`` (same output
+    to f32 exactness; parity-tested). ``interpret=None`` auto-selects
+    interpret mode off-TPU."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    H, W, C = features.shape
+    P = output_size
+    K = boxes.shape[0]
+    dt = features.dtype
+
+    hs, he, ws, we = roi_bin_bounds(boxes, P, spatial_scale, H, W)
+    neg = jnp.asarray(-jnp.inf, dt)
+    iw = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    mx = jnp.where((iw >= ws[:, :, None]) & (iw < we[:, :, None]),
+                   jnp.asarray(0, dt), neg)                  # [K, P, W]
+    ih = jnp.arange(H, dtype=jnp.int32)[None, None, :]
+    my = jnp.where((ih >= hs[:, :, None]) & (ih < he[:, :, None]),
+                   jnp.asarray(0, dt), neg)                  # [K, P, H]
+
+    ct = min(c_tile, C)
+    n_ct = -(-C // ct)
+    Cp = n_ct * ct
+    f = jnp.pad(features, ((0, 0), (0, 0), (0, Cp - C))) if Cp != C \
+        else features
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(n_ct, K),
+        in_specs=[
+            pl.BlockSpec((1, P, W), lambda c, k: (k, 0, 0)),
+            pl.BlockSpec((1, P, H), lambda c, k: (k, 0, 0)),
+            pl.BlockSpec((H, W, ct), lambda c, k: (0, 0, c)),
+        ],
+        out_specs=pl.BlockSpec((1, P, P, ct), lambda c, k: (k, 0, 0, c)),
+        out_shape=jax.ShapeDtypeStruct((K, P, P, Cp), dt),
+        scratch_shapes=[pltpu.VMEM((H, P, ct), dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(mx, my, f)
+    return out[..., :C] if Cp != C else out
