@@ -47,14 +47,15 @@ def _run_attempts():
     removal) so ONE JSON line is always emitted.
     """
     plans = [
-        (dict(os.environ), 1500),   # TPU attempt (cold remote compile ok)
-        (dict(os.environ), 600),    # retry: claim races resolve quickly
+        # (env, timeout, is_cpu_fallback)
+        (dict(os.environ), 1500, False),  # TPU attempt (cold compile ok)
+        (dict(os.environ), 600, False),   # retry: claim races resolve fast
     ]
     cpu_env = {k: v for k, v in os.environ.items()
                if k != "PALLAS_AXON_POOL_IPS"}
     cpu_env["JAX_PLATFORMS"] = "cpu"
-    plans.append((cpu_env, 900))
-    for i, (env, timeout) in enumerate(plans):
+    plans.append((cpu_env, 900, True))
+    for i, (env, timeout, is_cpu_fallback) in enumerate(plans):
         env = dict(env)
         env[_CHILD_ENV] = "1"
         try:
@@ -65,15 +66,24 @@ def _run_attempts():
             print(f"bench attempt {i}: timed out after {timeout}s "
                   f"(wedged chip claim?)", file=sys.stderr)
             continue
-        line = next((l for l in proc.stdout.splitlines()
-                     if l.startswith("{")), None)
-        if proc.returncode == 0 and line:
-            if "JAX_PLATFORMS" in env and env["JAX_PLATFORMS"] == "cpu":
-                rec = json.loads(line)
+        # the child's result is its LAST json-looking stdout line (a
+        # library may log brace-prefixed lines before it); parse guarded
+        # so a stray line can't kill the one-JSON-line guarantee.
+        rec = None
+        if proc.returncode == 0:
+            for l in proc.stdout.splitlines():
+                if l.startswith("{"):
+                    try:
+                        cand = json.loads(l)
+                    except json.JSONDecodeError:
+                        continue
+                    if isinstance(cand, dict) and "metric" in cand:
+                        rec = cand
+        if rec is not None:
+            if is_cpu_fallback:
                 rec["note"] = ("TPU unreachable after retries; "
                                "CPU fallback numbers")
-                line = json.dumps(rec)
-            print(line)
+            print(json.dumps(rec))
             return 0
         print(f"bench attempt {i}: rc={proc.returncode}\n"
               f"{proc.stderr[-2000:]}", file=sys.stderr)

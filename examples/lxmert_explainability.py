@@ -125,7 +125,6 @@ def main():
         boxes_px = np.zeros((m, 4), np.float32)
         boxes_px[: gy * gx] = grid
         det = dict(det)
-        det["boxes"] = boxes_px / np.asarray([sx, sy, sx, sy], np.float32)
         det["normalized_boxes"] = boxes_px / np.asarray(
             [w, h, w, h], np.float32)
         valid = np.arange(m) < gy * gx

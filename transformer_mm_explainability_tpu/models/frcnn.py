@@ -369,9 +369,13 @@ def forward(
 
         pooled = roi_pool_pallas.roi_pool_pallas(
             feats, rois, cfg.pooler_resolution, 1.0 / cfg.feat_stride)
-    else:
+    elif cfg.roi_pool_impl == "xla":
         pooled = roi_pool(feats, rois, cfg.pooler_resolution,
                           1.0 / cfg.feat_stride)
+    else:
+        raise ValueError(
+            f"unknown roi_pool_impl {cfg.roi_pool_impl!r} "
+            "(expected 'xla' or 'pallas')")
     feat_vec = _res5_head(params, pooled, cfg)             # [post_nms, 2048]
     logits = feat_vec @ params["cls_score"]["w"] + params["cls_score"]["b"]
     scores = jax.nn.softmax(logits, -1)                    # [N, K+1], bg LAST

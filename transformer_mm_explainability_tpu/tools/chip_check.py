@@ -1,0 +1,167 @@
+"""On-chip validation of every Pallas kernel's COMPILED (Mosaic) path.
+
+The test suite runs the kernels in interpret mode on CPU (the container
+forces CPU for pytest), so a TPU-only lowering failure — layout
+surprises, unsupported ops, VMEM overruns — would otherwise first
+surface in a user's run. This script compiles each kernel for the real
+chip and checks it against the parity-tested XLA oracle:
+
+  1. ``ops.relevancy_pallas.self_attention_relevancy_pallas`` vs the
+     vmapped ``ops.relevancy.self_attention_relevancy`` scan,
+     at ViT-B shape (L=12, H=12, S=197).
+  2. ``models.vit.relevancy_fused`` (flash fwd + fused attn-bwd/Ê
+     kernels, ``ops.flash_attention``) vs ``models.vit.relevancy``.
+  3. ``ops.roi_pool_pallas.roi_pool_pallas`` vs ``models.frcnn.roi_pool``
+     at the VG protocol shape (800x1216 image -> [50, 76, 1024] res4).
+
+Run whenever the chip is reachable (the grant can wedge — always bound
+it): ``timeout 900 env PYTHONPATH=/root/repo:/root/.axon_site \
+python tools/chip_check.py``. Exits 0 iff every check passes.
+
+``--interpret`` runs the same checks with the kernels in interpret mode
+(CPU-safe, exercised by tests/test_examples-style smoke coverage) so
+the tool itself cannot rot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _report(name: str, got, want, tol: float) -> bool:
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    adiff = np.abs(got - want).max()
+    scale = max(np.abs(want).max(), 1e-30)
+    rel = adiff / scale
+    ok = bool(rel <= tol)
+    print(f"{'PASS' if ok else 'FAIL'} {name}: max|Δ|={adiff:.3e} "
+          f"(rel {rel:.3e}, tol {tol:.0e})")
+    return ok
+
+
+def check_relevancy_kernel(interpret: bool, small: bool = False) -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.ops import relevancy as rl
+    from transformer_mm_explainability_tpu.ops.relevancy_pallas import (
+        self_attention_relevancy_pallas,
+    )
+
+    B, L, H, S = (1, 2, 2, 37) if small else (4, 12, 12, 197)
+    rng = np.random.RandomState(0)
+    cams = jnp.asarray(np.abs(rng.randn(B, L, H, S, S)).astype(np.float32))
+    grads = jnp.asarray(rng.randn(B, L, H, S, S).astype(np.float32))
+    want = jax.jit(jax.vmap(
+        lambda a, g: rl.self_attention_relevancy(a, g)))(cams, grads)
+    got = jax.jit(lambda a, g: self_attention_relevancy_pallas(
+        a, g, interpret=interpret))(cams, grads)
+    return _report("self_attention_relevancy_pallas (ViT-B shape)",
+                   got, want, 1e-4)
+
+
+def check_fused_vit(interpret: bool, small: bool = False) -> bool:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.models import vit
+
+    cfg = vit.VIT_B_16
+    if small:
+        cfg = dataclasses.replace(cfg, depth=2, num_heads=4, width=128)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    B = 1 if small else 4
+    images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
+    want = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))(
+        params, images, targets)
+    got = jax.jit(lambda p, im, tg: vit.relevancy_fused(
+        p, im, tg, cfg, interpret=interpret))(params, images, targets)
+    # full fwd+bwd pipeline: fp32 reassociation noise accumulates over
+    # 12 layers of recomputed A, so the bar is looser than the
+    # single-kernel checks but still far below method-level differences
+    return _report("vit.relevancy_fused (flash fwd + fused attn-bwd/Ê)",
+                   got, want, 5e-3)
+
+
+def check_roi_pool(interpret: bool, small: bool = False) -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.models import frcnn
+    from transformer_mm_explainability_tpu.ops.roi_pool_pallas import (
+        roi_pool_pallas,
+    )
+
+    H, W, C, K, P = (16, 20, 64, 8, 7) if small else (50, 76, 1024, 128, 14)
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(H, W, C).astype(np.float32))
+    # boxes in image pixels (stride 16), incl. degenerate and clipped
+    x0 = rng.uniform(0, W * 16 - 32, K)
+    y0 = rng.uniform(0, H * 16 - 32, K)
+    bw = rng.uniform(1, W * 16, K)
+    bh = rng.uniform(1, H * 16, K)
+    boxes = np.stack([x0, y0, np.minimum(x0 + bw, W * 16 - 1),
+                      np.minimum(y0 + bh, H * 16 - 1)], 1).astype(np.float32)
+    boxes = jnp.asarray(boxes)
+    want = jax.jit(lambda f, b: frcnn.roi_pool(f, b, P, 1 / 16.0))(
+        feats, boxes)
+    got = jax.jit(lambda f, b: roi_pool_pallas(
+        f, b, P, 1 / 16.0, interpret=interpret))(feats, boxes)
+    # max-pool selects single elements — compiled and oracle must agree
+    # to fp32 exactness
+    return _report("roi_pool_pallas (VG protocol shape)", got, want, 1e-6)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--interpret", action="store_true",
+                    help="run kernels in interpret mode (CPU-safe smoke)")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny shapes (fast tool smoke; NOT a protocol-"
+                         "shape validation)")
+    ap.add_argument("--only", choices=["relevancy", "fused_vit", "roi_pool"],
+                    help="run a single check")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    print(f"platform: {platform} ({len(jax.devices())} device(s))")
+    if not args.interpret and platform == "cpu":
+        print("FAIL: compiled-path check requested but platform is cpu "
+              "(pass --interpret for the CPU smoke mode)")
+        return 1
+
+    from transformer_mm_explainability_tpu.utils.tpu import (
+        setup_compilation_cache,
+    )
+    setup_compilation_cache()
+
+    checks = {
+        "relevancy": check_relevancy_kernel,
+        "fused_vit": check_fused_vit,
+        "roi_pool": check_roi_pool,
+    }
+    if args.only:
+        checks = {args.only: checks[args.only]}
+    ok = True
+    for name, fn in checks.items():
+        try:
+            ok &= fn(args.interpret, args.small)
+        except Exception as e:  # a Mosaic lowering error IS the finding
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            ok = False
+    print("chip_check:", "ALL PASS" if ok else "FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
