@@ -99,3 +99,28 @@ def test_sharded_streamed_relevancy():
                         batch["images"], jnp.zeros((8,), jnp.int32), CFG)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dp_shard_map_fused_relevancy():
+    """The fused-Pallas flagship path under REAL dp sharding.
+
+    Mosaic custom calls have no SPMD partitioning rule, so the fused
+    path must go through ``dp_shard_map`` (per-shard local shapes) on a
+    multi-chip mesh — here with interpret-mode kernels on the CPU mesh;
+    the compiled kernel is chip-validated by tools/chip_check.py."""
+    mesh = pmesh.make_mesh(jax.devices())
+    params = vit.init_params(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(8)
+    targets = jnp.zeros((8,), jnp.int32)
+
+    fn = lambda p, im, tg: vit.relevancy_fused(p, im, tg, CFG,
+                                               interpret=True)
+    ref = np.asarray(jax.jit(fn)(params, batch["images"], targets))
+
+    sharded_fn = jax.jit(pmesh.dp_shard_map(fn, mesh, batch_argnums=(1, 2)))
+    rep = pmesh.replicated(params, mesh)
+    images = pmesh.shard_batch({"x": batch["images"]}, mesh)["x"]
+    tg = pmesh.shard_batch({"t": targets}, mesh)["t"]
+    with mesh:
+        out = np.asarray(sharded_fn(rep, images, tg))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)

@@ -106,3 +106,41 @@ def replicated(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree
     )
+
+
+def dp_shard_map(fn, mesh: Mesh, batch_argnums: Sequence[int] = (1, 2)):
+    """Run ``fn`` data-parallel over the mesh's ``dp`` axis via
+    ``jax.shard_map``.
+
+    Arguments at ``batch_argnums`` are split on their leading axis over
+    ``dp``; every other argument is replicated; outputs are dp-sharded
+    on their leading axis. Inside ``fn`` each shard sees LOCAL shapes
+    (batch B/dp).
+
+    This is the multi-chip wrapper for the fused-Pallas paths
+    (``models.vit.relevancy_fused``, ``ops.relevancy_pallas``,
+    ``ops.roi_pool_pallas``): Mosaic custom calls have no SPMD
+    partitioning rule, so under plain ``jit`` with sharded operands the
+    compiler cannot split them — ``shard_map`` hands each chip its
+    local block instead, which is exactly the dp semantics of the
+    explanation/perturbation protocols (embarrassingly parallel over
+    samples, SURVEY §2.6). The tp axis is unused inside: per-shard
+    Pallas kernels already keep the whole hot loop in VMEM.
+
+    Works on any backend (the tests exercise it with interpret-mode
+    kernels on a virtual CPU mesh; the kernels themselves are
+    chip-validated by tools/chip_check.py).
+    """
+    batch_argnums = tuple(batch_argnums)
+
+    def spec_for(i):
+        return P("dp") if i in batch_argnums else P()
+
+    def wrapped(*args):
+        in_specs = tuple(spec_for(i) for i in range(len(args)))
+        inner = jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=P("dp"),
+            check_vma=False)
+        return inner(*args)
+
+    return wrapped
