@@ -213,3 +213,91 @@ def test_frcnn_forward_pallas_roi_impl_matches():
         np.testing.assert_allclose(np.asarray(out_x[k]),
                                    np.asarray(out_p[k]), atol=1e-5,
                                    err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# nms_blocked == nms_fixed (exact greedy NMS, blocked evaluation)
+# ---------------------------------------------------------------------------
+
+def _random_boxes(rng, n, spread=60.0, size=40.0):
+    """Clustered boxes with heavy mutual overlap (worst case for the
+    fixpoint iteration: long suppression chains)."""
+    ctr = rng.uniform(0, spread, (n, 2))
+    wh = rng.uniform(4, size, (n, 2))
+    return np.concatenate([ctr - wh / 2, ctr + wh / 2], 1).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("n,max_out,block", [
+    (300, 100, 64),    # many blocks
+    (300, 100, 512),   # single padded block
+    (40, 100, 32),     # fewer candidates than max_out
+])
+def test_nms_blocked_matches_fixed(seed, n, max_out, block):
+    rng = np.random.RandomState(seed)
+    boxes = jnp.asarray(_random_boxes(rng, n))
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    for thresh in (0.3, 0.7):
+        i0, ok0 = frcnn.nms_fixed(boxes, scores, thresh, max_out)
+        i1, ok1 = frcnn.nms_blocked(boxes, scores, thresh, max_out,
+                                    block=block)
+        np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_nms_blocked_ties_valid_and_degenerate():
+    rng = np.random.RandomState(7)
+    n = 120
+    boxes = _random_boxes(rng, n)
+    boxes[10:14] = boxes[5]            # identical boxes
+    boxes[20] = [3.0, 3.0, 3.0, 9.0]   # zero-area (degenerate)
+    boxes[21] = [3.0, 3.0, 3.0, 9.0]
+    scores = rng.rand(n).astype(np.float32)
+    scores[10:18] = 0.5                # score ties -> first-index pick
+    valid = rng.rand(n) > 0.3
+    i0, ok0 = frcnn.nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                              0.5, 50, valid=jnp.asarray(valid))
+    i1, ok1 = frcnn.nms_blocked(jnp.asarray(boxes), jnp.asarray(scores),
+                                0.5, 50, valid=jnp.asarray(valid),
+                                block=32)
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_nms_blocked_long_chain():
+    """A deliberate suppression chain (each box overlaps only its
+    neighbour) — the depth-bound case for the within-block fixpoint."""
+    n = 64
+    # box i spans [i*5, i*5+8): IoU(i, i+1) = 3/13 > 0.2, IoU(i, i+2)=0
+    boxes = np.stack([np.arange(n) * 5.0, np.zeros(n),
+                      np.arange(n) * 5.0 + 8.0, np.full(n, 10.0)],
+                     1).astype(np.float32)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)  # sorted order
+    i0, ok0 = frcnn.nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                              0.2, n)
+    i1, ok1 = frcnn.nms_blocked(jnp.asarray(boxes), jnp.asarray(scores),
+                                0.2, n, block=64)
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # chain semantics: evens survive (odd ones suppressed by neighbour)
+    kept = np.asarray(i1)[np.asarray(ok1)]
+    assert (kept == np.arange(0, n, 2)).all()
+
+
+def test_forward_nms_impl_equivalence():
+    import dataclasses
+    """frcnn.forward with nms_impl='blocked' == 'argmax' end-to-end."""
+    rng = np.random.RandomState(3)
+    params = frcnn.init_params(jax.random.PRNGKey(0), TINY)
+    img = frcnn.preprocess(
+        rng.randint(0, 255, (96, 128, 3)).astype(np.uint8),
+        target_shortest=64)
+    outs = {}
+    for impl in ("argmax", "blocked"):
+        cfg = dataclasses.replace(TINY, nms_impl=impl)
+        outs[impl] = jax.jit(lambda p, im: frcnn.forward(p, im, cfg))(
+            params, img)
+    for k in outs["argmax"]:
+        np.testing.assert_array_equal(np.asarray(outs["argmax"][k]),
+                                      np.asarray(outs["blocked"][k]),
+                                      err_msg=k)

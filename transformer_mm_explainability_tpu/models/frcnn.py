@@ -87,6 +87,10 @@ class FrcnnConfig:
     # "pallas" (VMEM-resident feature slab, ops/roi_pool_pallas.py);
     # both are exactness-equivalent (tests/test_frcnn.py)
     roi_pool_impl: str = "xla"
+    # NMS implementation: "argmax" (max_out sequential argmax+suppress
+    # iterations) or "blocked" (score-sorted block processing, ~N/512
+    # sequential stages); exactness-equivalent (tests/test_frcnn.py)
+    nms_impl: str = "argmax"
 
 
 FRCNN_VG = FrcnnConfig()
@@ -192,6 +196,92 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray,
         cond, body,
         (jnp.int32(0), s, jnp.zeros((max_out,), jnp.int32),
          jnp.zeros((max_out,), bool), jnp.bool_(True)))
+    return idxs, ok
+
+
+def nms_blocked(boxes: jnp.ndarray, scores: jnp.ndarray,
+                iou_thresh: float, max_out: int,
+                valid: Optional[jnp.ndarray] = None,
+                block: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``nms_fixed`` with blocked score-order processing — same outputs
+    (exact greedy NMS, torchvision semantics), ~N/block sequential
+    stages instead of ``max_out`` argmax+suppress iterations.
+
+    The greedy recurrence ``keep[t] = ¬∃u<t: keep[u] ∧ iou(u,t)>τ`` is
+    evaluated over score-sorted boxes one block at a time: boxes are
+    first suppressed against the already-finalised earlier blocks (one
+    [T, N] vector stage), then the within-block recurrence is solved by
+    iterating ``alive ← base ∧ ¬(Sᵀ alive)`` to its fixpoint — the
+    dependency DAG levels settle one per iteration, so the while_loop
+    terminates in ≤ depth(T) steps (typically a handful). The fixpoint
+    equation has a unique solution (induction over the sorted order),
+    which IS the sequential greedy answer. TPU-wise this turns a
+    1000-step serial argmax loop into ~N/512 blocked VPU stages.
+    """
+    N = boxes.shape[0]
+    s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
+    # stable score-descending order == nms_fixed's argmax
+    # first-index tie-break
+    order = jnp.argsort(-s, stable=True)
+    bb = boxes[order]
+    base = s[order] > -jnp.inf            # pickable at all
+    areas = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
+
+    T = min(block, N)
+    nb = -(-N // T)
+    Np = nb * T
+    if Np != N:
+        bb = jnp.pad(bb, ((0, Np - N), (0, 0)))
+        base = jnp.pad(base, (0, Np - N))
+        areas = jnp.pad(areas, (0, Np - N))
+
+    def iou_rows(cur, cur_areas):
+        # [T, Np]: IoU of the block's boxes against every sorted box,
+        # same f32 expression as nms_fixed's iou_row
+        lt = jnp.maximum(cur[:, None, :2], bb[None, :, :2])
+        rb = jnp.minimum(cur[:, None, 2:], bb[None, :, 2:])
+        wh = jnp.clip(rb - lt, 0)
+        inter = wh[..., 0] * wh[..., 1]
+        return inter / (cur_areas[:, None] + areas[None, :] - inter)
+
+    def block_step(keep, i):
+        lo = i * T
+        cur = jax.lax.dynamic_slice(bb, (lo, 0), (T, 4))
+        cur_areas = jax.lax.dynamic_slice(areas, (lo,), (T,))
+        cur_base = jax.lax.dynamic_slice(base, (lo,), (T,))
+        iou = iou_rows(cur, cur_areas)                     # [T, Np]
+        gidx = jnp.arange(Np)
+        # suppressed by a finalised survivor of an earlier block
+        prev = (iou > iou_thresh) & keep[None, :] & (gidx[None, :] < lo)
+        cur_base = cur_base & ~prev.any(axis=1)
+        # within-block: S[u, t] ⇔ u precedes t and suppresses it
+        S = jax.lax.dynamic_slice(iou, (0, lo), (T, T)) > iou_thresh
+        tidx = jnp.arange(T)
+        S = S & (tidx[:, None] < tidx[None, :])
+
+        def fix_cond(st):
+            alive, changed = st
+            return changed
+
+        def fix_body(st):
+            alive, _ = st
+            new = cur_base & ~(S & alive[:, None]).any(axis=0)
+            return new, jnp.any(new != alive)
+
+        alive, _ = jax.lax.while_loop(fix_cond, fix_body,
+                                      (cur_base, jnp.bool_(True)))
+        keep = jax.lax.dynamic_update_slice(keep, alive, (lo,))
+        return keep, None
+
+    keep, _ = jax.lax.scan(block_step, jnp.zeros((Np,), bool),
+                           jnp.arange(nb))
+    keep = keep[:N]
+    # first max_out survivors in sorted (= pick) order, like nms_fixed
+    rank = jnp.cumsum(keep) - 1
+    slot = jnp.where(keep & (rank < max_out), rank, max_out)
+    idxs = jnp.zeros((max_out,), jnp.int32).at[slot].set(
+        order.astype(jnp.int32), mode="drop")
+    ok = jnp.arange(max_out) < jnp.minimum(keep.sum(), max_out)
     return idxs, ok
 
 
@@ -358,9 +448,16 @@ def forward(
     k_pre = min(cfg.pre_nms_topk, proposals.shape[0])
     top_scores, top_idx = jax.lax.top_k(obj, k_pre)
     top_boxes = clip_boxes(proposals[top_idx], H, W)
-    keep_idx, keep_ok = nms_fixed(top_boxes, top_scores,
-                                  cfg.rpn_nms_thresh, cfg.post_nms_topk,
-                                  valid=nonempty(top_boxes))
+    if cfg.nms_impl == "blocked":
+        nms_fn = nms_blocked
+    elif cfg.nms_impl == "argmax":
+        nms_fn = nms_fixed
+    else:
+        raise ValueError(f"unknown nms_impl {cfg.nms_impl!r} "
+                         "(expected 'argmax' or 'blocked')")
+    keep_idx, keep_ok = nms_fn(top_boxes, top_scores,
+                               cfg.rpn_nms_thresh, cfg.post_nms_topk,
+                               valid=nonempty(top_boxes))
     rois = top_boxes[keep_idx]                             # [post_nms, 4]
 
     # --- ROI heads: RoIPool + res5 (Res5ROIHeads :1415-1450) -----------------
@@ -401,8 +498,8 @@ def forward(
         boxes = jnp.take_along_axis(
             all_boxes, best_cls[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]
-    final_idx, det_ok = nms_fixed(boxes, best_prob, cfg.detection_nms_thresh,
-                                  cfg.max_detections, valid=keep_ok)
+    final_idx, det_ok = nms_fn(boxes, best_prob, cfg.detection_nms_thresh,
+                               cfg.max_detections, valid=keep_ok)
 
     out_boxes = boxes[final_idx]
     norm = out_boxes / jnp.asarray([W, H, W, H], jnp.float32)
