@@ -89,3 +89,15 @@ def test_visual_bert_pretraining_example():
 
 def test_mmf_zoo_vqa_example():
     run_example("mmf_zoo_vqa.py", [])
+
+
+def test_sharded_relevancy_example():
+    out = run_example("sharded_relevancy.py",
+                      ["--devices", "8", "--batch", "8"])
+    assert "mesh dp=" in out and "OK" in out
+
+
+def test_sharded_relevancy_example_fused():
+    out = run_example("sharded_relevancy.py",
+                      ["--devices", "8", "--batch", "8", "--fused"])
+    assert "OK" in out
