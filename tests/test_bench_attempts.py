@@ -78,6 +78,38 @@ def test_fallback_plan_gets_note_and_last_json_line_wins(monkeypatch,
     assert calls[2]["env"]["JAX_PLATFORMS"] == "cpu"
 
 
+def test_tpu_success_refreshes_sidecar_fallback_reads_it(
+        monkeypatch, capsys, tmp_path):
+    # a TPU-run record (on_tpu=true) refreshes BENCH_LAST_TPU.json; a
+    # later CPU fallback echoes THAT record, never a source-baked one
+    bench = _load_bench()
+    sidecar = tmp_path / "last_tpu.json"
+    monkeypatch.setattr(bench, "_LAST_TPU_PATH", str(sidecar))
+    tpu_rec = json.dumps({"metric": "m", "value": 1234.5, "unit": "u",
+                          "vs_baseline": 9.9, "bf16_maps_per_sec": 1500.0,
+                          "on_tpu": True})
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: _proc(0, tpu_rec + "\n"))
+    assert bench._run_attempts() == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "on_tpu" not in out  # internal plumbing, not driver schema
+    saved = json.loads(sidecar.read_text())
+    assert saved["fp32_maps_per_sec"] == 1234.5
+    assert saved["bf16_maps_per_sec"] == 1500.0
+
+    def fallback_run(*a, **k):
+        if fallback_run.calls < 2:
+            fallback_run.calls += 1
+            raise subprocess.TimeoutExpired(cmd="x", timeout=1)
+        return _proc(0, GOOD + "\n")
+
+    fallback_run.calls = 0
+    monkeypatch.setattr(subprocess, "run", fallback_run)
+    assert bench._run_attempts() == 0
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["last_tpu_measurement"]["fp32_maps_per_sec"] == 1234.5
+
+
 def test_all_attempts_failed_still_emits_one_json_line(monkeypatch,
                                                        capsys):
     bench = _load_bench()

@@ -285,8 +285,8 @@ def test_nms_blocked_long_chain():
 
 
 def test_forward_nms_impl_equivalence():
-    import dataclasses
     """frcnn.forward with nms_impl='blocked' == 'argmax' end-to-end."""
+    import dataclasses
     rng = np.random.RandomState(3)
     params = frcnn.init_params(jax.random.PRNGKey(0), TINY)
     img = frcnn.preprocess(

@@ -49,6 +49,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from transformer_mm_explainability_tpu.models import resnet
+from transformer_mm_explainability_tpu.ops.roi_pool_pallas import (
+    roi_bin_bounds,
+)
 from transformer_mm_explainability_tpu.utils import box_ops
 
 
@@ -312,21 +315,12 @@ def roi_pool(features: jnp.ndarray, boxes: jnp.ndarray,
     kk = jnp.arange(K_cand)
 
     def one_box(box):
-        # round-half-away-from-zero on non-negative coords
-        q = jnp.floor(box * spatial_scale + 0.5).astype(jnp.int32)
-        x0, y0, x1, y1 = q[0], q[1], q[2], q[3]
-        roi_w = jnp.maximum(x1 - x0 + 1, 1)
-        roi_h = jnp.maximum(y1 - y0 + 1, 1)
-        # bin boundaries floor(p*roi/P) / ceil((p+1)*roi/P) in EXACT
-        # integer arithmetic: equal to torch's f32 bin_size product for
-        # every feasible (p, roi, P), and immune to XLA's f32 division
-        # being 1 ulp off torch's (observed on CPU), which otherwise
-        # shifts boundaries whenever p*roi is an exact multiple of P
-        pi = jnp.arange(P, dtype=jnp.int32)
-        hs = jnp.clip((pi * roi_h) // P + y0, 0, H)
-        he = jnp.clip(((pi + 1) * roi_h + P - 1) // P + y0, 0, H)
-        ws = jnp.clip((pi * roi_w) // P + x0, 0, W)
-        we = jnp.clip(((pi + 1) * roi_w + P - 1) // P + x0, 0, W)
+        # exact-integer bin boundaries, shared with the Pallas kernel
+        # (ops/roi_pool_pallas.roi_bin_bounds — the single copy of the
+        # round-quantisation + floor/ceil arithmetic both paths must
+        # agree on bit-exactly)
+        hs, he, ws, we = (a[0] for a in roi_bin_bounds(
+            box[None], P, spatial_scale, H, W))
 
         # pass 1 — masked max along x per (row, x-bin)
         idx_x = jnp.clip(ws[:, None] + kk[None, :], 0, W - 1)     # [P, K]

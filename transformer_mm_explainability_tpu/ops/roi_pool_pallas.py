@@ -45,8 +45,10 @@ def roi_bin_bounds(
     Returns (hs, he, ws, we) int32 [K, P]: bin p covers rows
     [hs, he) × cols [ws, we) of the feature map. Equal to torch's f32
     ``bin_size`` products for every feasible (p, roi, P) and immune to
-    XLA's f32 division being 1 ulp off torch's (see
-    models/frcnn.roi_pool, whose per-box math this vectorises).
+    XLA's f32 division being 1 ulp off torch's (observed on CPU), which
+    otherwise shifts boundaries whenever p*roi is an exact multiple of
+    P. The single copy of this arithmetic: models/frcnn.roi_pool (the
+    XLA path) calls it per box too, so the two impls cannot fork.
     """
     P = output_size
     q = jnp.floor(boxes * spatial_scale + 0.5).astype(jnp.int32)

@@ -16,7 +16,7 @@ chip and checks it against the parity-tested XLA oracle:
 
 Run whenever the chip is reachable (the grant can wedge — always bound
 it): ``timeout 900 env PYTHONPATH=/root/repo:/root/.axon_site \
-python tools/chip_check.py``. Exits 0 iff every check passes.
+python -m transformer_mm_explainability_tpu.tools.chip_check``. Exits 0 iff every check passes.
 
 ``--interpret`` runs the same checks with the kernels in interpret mode
 (CPU-safe, exercised by tests/test_examples-style smoke coverage) so
