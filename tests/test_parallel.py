@@ -124,3 +124,43 @@ def test_dp_shard_map_fused_relevancy():
     with mesh:
         out = np.asarray(sharded_fn(rep, images, tg))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("S,start_layer", [(16, 0), (37, 0), (37, 2)])
+def test_sp_self_attention_relevancy(S, start_layer):
+    """Sequence-parallel chain == the single-device scan, including a
+    seq length not divisible by the mesh axis (padding is exact)."""
+    from transformer_mm_explainability_tpu.ops import relevancy as rl
+    from transformer_mm_explainability_tpu.parallel import sp
+
+    mesh = pmesh.make_mesh(jax.devices())
+    rng = np.random.RandomState(0)
+    L, H = 4, 3
+    cams = jnp.asarray(np.abs(rng.randn(L, H, S, S)).astype(np.float32))
+    grads = jnp.asarray(rng.randn(L, H, S, S).astype(np.float32))
+
+    ref = np.asarray(jax.jit(
+        lambda c, g: rl.self_attention_relevancy(c, g, start_layer))(
+            cams, grads))
+    out = np.asarray(jax.jit(
+        lambda c, g: sp.sp_self_attention_relevancy(
+            c, g, mesh, axis="tp", start_layer=start_layer))(cams, grads))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("normalize", [True, False])
+def test_sp_rollout_attention(normalize):
+    from transformer_mm_explainability_tpu.ops import relevancy as rl
+    from transformer_mm_explainability_tpu.parallel import sp
+
+    mesh = pmesh.make_mesh(jax.devices())
+    rng = np.random.RandomState(1)
+    L, S = 5, 23
+    mats = jnp.asarray(np.abs(rng.randn(L, S, S)).astype(np.float32))
+
+    ref = np.asarray(jax.jit(
+        lambda m: rl.compute_rollout_attention(m, 1, normalize))(mats))
+    out = np.asarray(jax.jit(
+        lambda m: sp.sp_rollout_attention(
+            m, mesh, axis="tp", start_layer=1, normalize=normalize))(mats))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)

@@ -92,7 +92,11 @@ class FrcnnConfig:
     roi_pool_impl: str = "xla"
     # NMS implementation: "argmax" (max_out sequential argmax+suppress
     # iterations) or "blocked" (score-sorted block processing, ~N/512
-    # sequential stages); exactness-equivalent (tests/test_frcnn.py)
+    # sequential stages); exactness-equivalent (tests/test_frcnn.py).
+    # Measured on v5e at the RPN shape (6000->1000, all picks forced):
+    # argmax 0.86 ms vs blocked 2.02 ms — the serial loop's per-pick
+    # vector work is cheap enough that the blocked path's ~6x extra
+    # elementwise work loses; "argmax" stays the default.
     nms_impl: str = "argmax"
 
 
@@ -220,6 +224,13 @@ def nms_blocked(boxes: jnp.ndarray, scores: jnp.ndarray,
     equation has a unique solution (induction over the sorted order),
     which IS the sequential greedy answer. TPU-wise this turns a
     1000-step serial argmax loop into ~N/512 blocked VPU stages.
+
+    Measured on the real v5e chip the trade does NOT pay at protocol
+    shapes: 6000->1000 with all 1000 picks forced runs 0.86 ms via
+    ``nms_fixed`` vs 2.02 ms here (outputs bit-identical) — XLA's
+    while_loop overhead per pick is far below the blocked path's extra
+    [T, N] IoU work. Kept as an exact alternative for shapes where the
+    pick count (not the IoU bandwidth) dominates.
     """
     N = boxes.shape[0]
     s = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
