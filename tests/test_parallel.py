@@ -164,3 +164,31 @@ def test_sp_rollout_attention(normalize):
         lambda m: sp.sp_rollout_attention(
             m, mesh, axis="tp", start_layer=1, normalize=normalize))(mats))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("aggregate", [True, False])
+def test_sp_self_attention_update(aggregate):
+    """SP rules 6+7 (the DETR big-S carry) == the single-device scan,
+    with a seq length not divisible by the mesh axis."""
+    from transformer_mm_explainability_tpu.ops import relevancy as rl
+    from transformer_mm_explainability_tpu.parallel import sp
+
+    mesh = pmesh.make_mesh(jax.devices())
+    rng = np.random.RandomState(2)
+    L, H, S, Q = 3, 2, 19, 7
+    cams = jnp.asarray(np.abs(rng.randn(L, H, S, S)).astype(np.float32))
+    grads = jnp.asarray(rng.randn(L, H, S, S).astype(np.float32))
+    R_ss = jnp.asarray(np.eye(S, dtype=np.float32))
+    R_sq = jnp.asarray(rng.rand(S, Q).astype(np.float32))
+
+    ref_ss, ref_sq = jax.jit(
+        lambda a, b, c, g: rl.self_attention_relevancy_update(
+            a, b, c, g, aggregate=aggregate))(R_ss, R_sq, cams, grads)
+    out_ss, out_sq = jax.jit(
+        lambda a, b, c, g: sp.sp_self_attention_update(
+            a, b, c, g, mesh, axis="tp", aggregate=aggregate))(
+            R_ss, R_sq, cams, grads)
+    np.testing.assert_allclose(np.asarray(out_ss), np.asarray(ref_ss),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_sq), np.asarray(ref_sq),
+                               rtol=1e-5, atol=1e-6)

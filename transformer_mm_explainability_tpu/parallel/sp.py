@@ -86,6 +86,62 @@ def sp_self_attention_relevancy(
     return out[:S, :S]
 
 
+def sp_self_attention_update(
+    R_ss: jnp.ndarray,
+    R_sq: jnp.ndarray,
+    cams: jnp.ndarray,
+    grads: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "tp",
+    aggregate: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequence-parallel rules 6+7 scan
+    (``ops.relevancy.self_attention_relevancy_update``).
+
+    This is the big-S case the module exists for: DETR's encoder
+    accumulation carries ``R_i_i`` [S, S] with S ≈ 1900 at 800px.
+    ``R_ss`` [S, S] and ``R_sq`` [S, Q] are row-sharded; per layer both
+    carries are gathered once and each chip computes its local
+    ``Ê_loc @ R_full`` additions. Zero-padding is exact: padded ``Ê``
+    rows/cols are zero, so padded regions of both carries stay at their
+    (zero-padded) input values through aggregate and overwrite modes.
+    """
+    k = mesh.shape[axis]
+    L, H, S, _ = cams.shape
+    Q = R_sq.shape[1]
+    s_pad = -(-S // k) * k
+    cams = _pad_rows_cols(cams, s_pad)
+    grads = _pad_rows_cols(grads, s_pad)
+    R_ss = _pad_rows_cols(R_ss, s_pad)
+    R_sq = jnp.pad(R_sq, ((0, s_pad - S), (0, 0)))
+
+    def chain(cam_loc, grad_loc, rss_loc, rsq_loc):
+        prod = grad_loc.astype(jnp.float32) * cam_loc.astype(jnp.float32)
+        e_loc = jnp.maximum(prod, 0.0).mean(axis=1)  # [L, Sl, Sp]
+
+        def step(carry, e_l):
+            rss_loc, rsq_loc = carry
+            rss_full = jax.lax.all_gather(rss_loc, axis, axis=0, tiled=True)
+            rsq_full = jax.lax.all_gather(rsq_loc, axis, axis=0, tiled=True)
+            add_ss = e_l @ rss_full
+            add_sq = e_l @ rsq_full
+            if aggregate:
+                return (rss_loc + add_ss, rsq_loc + add_sq), None
+            return (add_ss, add_sq), None
+
+        (rss_loc, rsq_loc), _ = jax.lax.scan(
+            step, (rss_loc, rsq_loc), e_loc)
+        return rss_loc, rsq_loc
+
+    spec4 = P(None, None, axis, None)
+    rss, rsq = jax.shard_map(
+        chain, mesh=mesh,
+        in_specs=(spec4, spec4, P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)), check_vma=False,
+    )(cams, grads, R_ss, R_sq)
+    return rss[:S, :S], rsq[:S, :Q]
+
+
 def sp_rollout_attention(
     layer_matrices: jnp.ndarray,
     mesh: Mesh,
