@@ -70,17 +70,23 @@ def _kernel(mx_ref, my_ref, f_ref, o_ref, t1_ref):
 
     mx_ref [1, P, W] / my_ref [1, P, H]: additive 0/−inf bin masks.
     f_ref [H, W, C_T]: feature slab (VMEM-resident across boxes).
-    o_ref [1, P, P, C_T]; t1_ref [H, P, C_T] scratch.
+    o_ref [1, P, P, C_T]; t1_ref [P, H, C_T] scratch.
+
+    Both passes broadcast their mask vector into the SUBLANE axis
+    (``m[None, :, None]``): Mosaic lowers that lane→sublane reshape,
+    but not lane→major (``m[:, None, None]`` fails to compile with
+    ``tpu.reshape 1x1xH → Hx1x1``) — hence the [P, H, C_T] scratch
+    layout that keeps the reduced axis in the middle for pass 2 too.
     """
     P = mx_ref.shape[1]
     f = f_ref[...]
     for p in range(P):                       # static unroll (P=14)
         m = mx_ref[0, p, :]                  # [W]
-        t1_ref[:, p, :] = jnp.max(f + m[None, :, None], axis=1)
-    t1 = t1_ref[...]                         # [H, P, C_T]
+        t1_ref[p, :, :] = jnp.max(f + m[None, :, None], axis=1)
+    t1 = t1_ref[...]                         # [P, H, C_T]
     for q in range(P):
         m = my_ref[0, q, :]                  # [H]
-        o = jnp.max(t1 + m[:, None, None], axis=0)        # [P, C_T]
+        o = jnp.max(t1 + m[None, :, None], axis=1)        # [P, C_T]
         # empty / fully-clipped bins are all-masked → −inf → 0, the
         # torchvision convention
         o_ref[0, q] = jnp.where(jnp.isfinite(o), o, 0.0)
@@ -91,12 +97,17 @@ def roi_pool_pallas(
     boxes: jnp.ndarray,          # [K, 4] xyxy
     output_size: int,
     spatial_scale: float,
-    c_tile: int = 512,
+    c_tile: int = 256,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:                # [K, P, P, C]
     """Drop-in replacement for ``models.frcnn.roi_pool`` (same output
     to f32 exactness; parity-tested). ``interpret=None`` auto-selects
-    interpret mode off-TPU."""
+    interpret mode off-TPU.
+
+    ``c_tile=256`` keeps the pipelined VMEM footprint (2× feature
+    block + scratch + 2× output block) under the 16 MB scoped limit at
+    the VG res4 shape — 512 compiles but OOMs the VMEM stack on v5e
+    (measured: 18.06 M > 16 M)."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     H, W, C = features.shape
@@ -129,7 +140,7 @@ def roi_pool_pallas(
         ],
         out_specs=pl.BlockSpec((1, P, P, ct), lambda c, k: (k, 0, 0, c)),
         out_shape=jax.ShapeDtypeStruct((K, P, P, Cp), dt),
-        scratch_shapes=[pltpu.VMEM((H, P, ct), dt)],
+        scratch_shapes=[pltpu.VMEM((P, H, ct), dt)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
