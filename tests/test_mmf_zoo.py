@@ -1475,3 +1475,115 @@ def test_init_lorra_forward_runs():
     out = Z.lorra_forward(params, cfg, toks, feats, ctx, order)
     assert out.shape == (2, cfg.num_answers)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# PythiaMultiHead — registry name "multihead" (pythia.py:368-505)
+# ---------------------------------------------------------------------------
+
+MH_CFG = Z.PythiaMultiHeadConfig(
+    vocab_size=30, num_answers=7, embedding_dim=8, text_hidden_dim=12,
+    conv1_out=6, conv2_out=2, image_feature_dim=10, combine_hidden_dim=14,
+    classifier_text_hidden=5, classifier_img_hidden=9, projection_dim=16,
+    num_attention_heads=4, embeddings_per_stream=1)
+
+
+def _build_ref_multihead(ref, cfg, seed=0):
+    """PythiaMultiHead.build (pythia.py:375-433): Pythia's word/text
+    embeddings + per-stream encoder → ProjectionEmbedding projector →
+    MultiHeadImageFeatureEmbedding(s), combine, logit classifier."""
+    import torch
+    torch.manual_seed(seed)
+    n = len(cfg.image_encoders)
+    model = torch.nn.Module()
+    model.word_embedding = torch.nn.Embedding(cfg.vocab_size,
+                                              cfg.embedding_dim)
+    model.text_embeddings = torch.nn.ModuleList([
+        ref.embeddings.AttentionTextEmbedding(
+            hidden_dim=cfg.text_hidden_dim, embedding_dim=cfg.embedding_dim,
+            num_layers=1, dropout=0.0, conv1_out=cfg.conv1_out,
+            conv2_out=cfg.conv2_out, kernel_size=1, padding=0)])
+
+    class _Finetune(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lc = torch.nn.Linear(cfg.image_feature_dim,
+                                      cfg.image_feature_dim)
+
+        def forward(self, x):
+            return torch.nn.functional.relu(self.lc(x))
+
+    class _Wrapped(torch.nn.Module):  # the encoder-factory .module nesting
+        def __init__(self, module):
+            super().__init__()
+            self.module = module
+
+        def forward(self, x):
+            return self.module(x)
+
+    model.image_feature_encoders = torch.nn.ModuleList(
+        [_Finetune() if kind == "finetune" else torch.nn.Identity()
+         for kind in cfg.image_encoders])
+    model.image_feature_projectors = torch.nn.ModuleList(
+        [_Wrapped(ref.embeddings.ProjectionEmbedding(
+            "linear", cfg.image_feature_dim, cfg.projection_dim))
+         for _ in range(n)])
+    model.image_feature_embeddings_list = torch.nn.ModuleList([
+        torch.nn.ModuleList([
+            ref.embeddings.MultiHeadImageFeatureEmbedding(
+                cfg.projection_dim, cfg.text_out_dim,
+                num_heads=cfg.num_attention_heads, dropout=0.0)
+            for _ in range(cfg.embeddings_per_stream)])
+        for _ in range(n)])
+    model.image_text_multi_modal_combine_layer = \
+        ref.layers.ModalCombineLayer(
+            "non_linear_element_multiply", cfg.image_out_dim,
+            cfg.text_out_dim, dropout=0.0,
+            hidden_dim=cfg.combine_hidden_dim)
+    model.classifier = ref.layers.ClassifierLayer(
+        "logit", in_dim=cfg.combine_hidden_dim, out_dim=cfg.num_answers,
+        text_hidden_dim=cfg.classifier_text_hidden,
+        img_hidden_dim=cfg.classifier_img_hidden)
+    return model.eval()
+
+
+@requires_reference
+def test_pythia_multihead_full_forward_parity(ref):
+    """pythia.py:435-505 process_feature_embedding override: encode →
+    project → multi-head attend with the question as query → concat."""
+    import torch
+    cfg = MH_CFG
+    model = _build_ref_multihead(ref, cfg)
+    tokens = np.random.RandomState(41).randint(0, cfg.vocab_size, (3, 6))
+    feats = [rand(3, 5, cfg.image_feature_dim, seed=42),
+             rand(3, 4, cfg.image_feature_dim, seed=43)]
+
+    text = model.word_embedding(torch.tensor(tokens))
+    text_total = torch.cat([emb(text) for emb in model.text_embeddings], 1)
+    embs = []
+    for i, feat in enumerate(feats):
+        encoded = model.image_feature_encoders[i](torch.tensor(feat))
+        projected = model.image_feature_projectors[i](encoded)
+        for emb_model in model.image_feature_embeddings_list[i]:
+            emb, _ = emb_model(projected, text_total, None)
+            embs.append(emb)
+    image_total = torch.cat(embs, dim=1)
+    joint = model.image_text_multi_modal_combine_layer(image_total,
+                                                       text_total)
+    want = model.classifier(joint).detach().numpy()
+
+    params = C.pythia_multihead_from_state_dict(model.state_dict(), cfg)
+    got = Z.pythia_multihead_forward(params, cfg, jnp.asarray(tokens),
+                                     [jnp.asarray(f) for f in feats])
+    assert_close(got, want, atol=5e-5)
+
+
+def test_pythia_multihead_random_init_runs():
+    params = Z.init_pythia_multihead(jax.random.PRNGKey(0), MH_CFG)
+    rs = np.random.RandomState(8)
+    toks = jnp.asarray(rs.randint(0, MH_CFG.vocab_size, (2, 5)))
+    feats = [jnp.asarray(rs.randn(2, 4, 10).astype(np.float32)),
+             jnp.asarray(rs.randn(2, 6, 10).astype(np.float32))]
+    out = Z.pythia_multihead_forward(params, MH_CFG, toks, feats)
+    assert out.shape == (2, MH_CFG.num_answers)
+    assert np.isfinite(np.asarray(out)).all()

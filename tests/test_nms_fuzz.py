@@ -49,7 +49,11 @@ def greedy_nms_oracle(boxes: np.ndarray, scores: np.ndarray,
         xx2 = np.minimum(x2[j], x2)
         yy2 = np.minimum(y2[j], y2)
         inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
-        iou = inter / (areas[j] + areas - inter)
+        with np.errstate(invalid="ignore"):
+            # 0/0 for pairs of zero-area boxes → NaN, and NaN > thresh is
+            # False, i.e. degenerate boxes never suppress each other —
+            # matching torchvision's batched IoU semantics.
+            iou = inter / (areas[j] + areas - inter)
         alive &= ~(iou > np.float32(iou_thresh))
     return np.asarray(keep[:MAX_OUT], np.int64)
 

@@ -192,3 +192,55 @@ def test_sp_self_attention_update(aggregate):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_sq), np.asarray(ref_sq),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sp_self_attention_update_bf16_capture():
+    """bf16 captures: sharded == single-device holds because BOTH paths
+    cast cams/grads (and the carries) to fp32 before forming Ê."""
+    from transformer_mm_explainability_tpu.ops import relevancy as rl
+    from transformer_mm_explainability_tpu.parallel import sp
+
+    mesh = pmesh.make_mesh(jax.devices())
+    rng = np.random.RandomState(3)
+    L, H, S, Q = 3, 2, 21, 5
+    cams = jnp.asarray(np.abs(rng.randn(L, H, S, S))).astype(jnp.bfloat16)
+    grads = jnp.asarray(rng.randn(L, H, S, S)).astype(jnp.bfloat16)
+    R_ss = jnp.eye(S, dtype=jnp.bfloat16)
+    R_sq = jnp.asarray(rng.rand(S, Q)).astype(jnp.bfloat16)
+
+    ref_ss, ref_sq = jax.jit(rl.self_attention_relevancy_update)(
+        R_ss, R_sq, cams, grads)
+    out_ss, out_sq = jax.jit(
+        lambda a, b, c, g: sp.sp_self_attention_update(
+            a, b, c, g, mesh, axis="tp"))(R_ss, R_sq, cams, grads)
+    assert ref_ss.dtype == jnp.float32 and out_ss.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out_ss), np.asarray(ref_ss),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_sq), np.asarray(ref_sq),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sp_update_detr_protocol_scale():
+    """The shape that motivated sp.py: DETR encoder accumulation at
+    S≈1900 (800px → 25×76 feature map), L=6
+    (DETR/modules/ExplanationGenerator.py:176). Sharded == single-device
+    at protocol scale, with S not divisible by the mesh axis."""
+    from transformer_mm_explainability_tpu.ops import relevancy as rl
+    from transformer_mm_explainability_tpu.parallel import sp
+
+    mesh = pmesh.make_mesh(jax.devices())
+    rng = np.random.RandomState(4)
+    L, H, S, Q = 6, 2, 1900, 100
+    cams = jnp.asarray(np.abs(rng.randn(L, H, S, S)).astype(np.float32))
+    grads = jnp.asarray(rng.randn(L, H, S, S).astype(np.float32))
+    R_ss = jnp.eye(S, dtype=jnp.float32)
+    R_sq = jnp.zeros((S, Q), jnp.float32)
+
+    ref_ss, _ = jax.jit(rl.self_attention_relevancy_update)(
+        R_ss, R_sq, cams, grads)
+    out_ss, _ = jax.jit(
+        lambda a, b, c, g: sp.sp_self_attention_update(
+            a, b, c, g, mesh, axis="tp"))(R_ss, R_sq, cams, grads)
+    np.testing.assert_allclose(np.asarray(out_ss), np.asarray(ref_ss),
+                               rtol=1e-5, atol=1e-5)

@@ -73,6 +73,12 @@ class MmfDataset:
         self.answer_processor = _build_processor(p.get("answer_processor"))
         self.transformer_bbox_processor = _build_processor(
             p.get("transformer_bbox_processor"))
+        # MMF's init_processors sets EVERY configured processor as an
+        # attribute named by its config key (base_dataset.py) — the OCR
+        # datasets rely on ocr_token/context/phoc/copy/bbox processors
+        for key, spec in p.items():
+            if not hasattr(self, key) or getattr(self, key) is None:
+                setattr(self, key, _build_processor(spec))
 
     def __len__(self) -> int:
         return len(self.annotation_db)

@@ -206,6 +206,92 @@ def pythia_image_only_forward(params: Params, cfg: PythiaConfig,
 
 
 # ---------------------------------------------------------------------------
+# PythiaMultiHead — registry name "multihead" (pythia.py:368-505)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PythiaMultiHeadConfig(PythiaConfig):
+    """Pythia with per-stream feature *projectors* and multi-head
+    attention feature embeddings (MultiHeadImageFeatureEmbedding,
+    embeddings.py:264-282) instead of the top-down attention streams."""
+    projection_dim: int = 1024
+    num_attention_heads: int = 4
+    embeddings_per_stream: int = 1
+
+    @property
+    def image_out_dim(self) -> int:  # out_dim == question_dim per embedding
+        return (len(self.image_encoders) * self.embeddings_per_stream
+                * self.text_out_dim)
+
+
+def init_pythia_multihead(key: jax.Array, cfg: PythiaMultiHeadConfig,
+                          dtype=jnp.float32) -> Params:
+    """PythiaMultiHead.build (pythia.py:375-385): word embedding, text
+    attention embedding, per-stream encoder → projector → N multi-head
+    attention embeddings, combine layer, logit classifier."""
+    n = len(cfg.image_encoders)
+    ks = jax.random.split(key, 4 + n * (2 + cfg.embeddings_per_stream))
+    word = (jax.random.normal(ks[0], (cfg.vocab_size, cfg.embedding_dim))
+            .astype(dtype))
+    encs, projs, embs = [], [], []
+    ki = 4
+    for kind in cfg.image_encoders:
+        encs.append(_init_image_encoder(ks[ki], kind, cfg.image_feature_dim,
+                                        dtype))
+        # _init_feature_projectors (pythia.py:386-399): a linear image
+        # encoder projecting feat_dim → projection_dim
+        projs.append({"lc": L.init_linear(ks[ki + 1], cfg.image_feature_dim,
+                                          cfg.projection_dim, dtype)})
+        stream_embs = [
+            L.init_multi_head_image_feature_embedding(
+                ks[ki + 2 + j], cfg.projection_dim, cfg.text_out_dim,
+                cfg.num_attention_heads, dtype)
+            for j in range(cfg.embeddings_per_stream)]
+        embs.append(stream_embs)
+        ki += 2 + cfg.embeddings_per_stream
+    return {
+        "word_embedding": word,
+        "text_embedding": L.init_attention_text_embedding(
+            ks[1], cfg.text_hidden_dim, cfg.embedding_dim, cfg.conv1_out,
+            cfg.conv2_out, dtype=dtype),
+        "image_encoders": encs,
+        "image_projectors": projs,
+        "image_embeddings": embs,
+        "combine": L.init_non_linear_element_multiply(
+            ks[2], cfg.image_out_dim, cfg.text_out_dim,
+            cfg.combine_hidden_dim, dtype=dtype),
+        "classifier": L.init_logit_classifier(
+            ks[3], cfg.combine_hidden_dim, cfg.num_answers,
+            cfg.classifier_text_hidden, cfg.classifier_img_hidden, dtype),
+    }
+
+
+def pythia_multihead_forward(params: Params, cfg: PythiaMultiHeadConfig,
+                             text_tokens: jnp.ndarray,
+                             image_features: Sequence[jnp.ndarray]
+                             ) -> jnp.ndarray:
+    """PythiaMultiHead.process_feature_embedding (pythia.py:435-505):
+    encode → project → multi-head attend (question as query) → concat,
+    then the inherited Pythia combine + classifier."""
+    text_total = pythia_process_text(params, text_tokens)
+    embs, atts = [], []
+    for enc_p, proj_p, emb_ps, feat, kind in zip(
+            params["image_encoders"], params["image_projectors"],
+            params["image_embeddings"], image_features, cfg.image_encoders):
+        encoded = _image_encoder_fwd(enc_p, feat, kind)
+        projected = L.linear_fwd(proj_p["lc"], encoded)
+        for emb_p in emb_ps:
+            emb, att = L.multi_head_image_feature_embedding_fwd(
+                emb_p, projected, text_total, cfg.num_attention_heads)
+            embs.append(emb)
+            atts.append(att)
+    image_total = jnp.concatenate(embs, axis=1)
+    joint = L.non_linear_element_multiply_fwd(params["combine"],
+                                              image_total, text_total)
+    return L.logit_classifier_fwd(params["classifier"], joint)
+
+
+# ---------------------------------------------------------------------------
 # LoRRA (lorra.py:8-64) — Pythia + OCR context stream
 # ---------------------------------------------------------------------------
 

@@ -211,8 +211,15 @@ def self_attention_relevancy_update(
     With ``aggregate=True`` (default) performs the paper's ``+=`` update;
     ``aggregate=False`` reproduces the no-aggregation ablation which
     overwrites instead (lxmert ExplanationGenerator.py:215-365).
+
+    Like ``self_attention_relevancy``, Ê and both carries accumulate in
+    fp32 regardless of the capture dtype, matching the sharded
+    counterpart ``parallel.sp.sp_self_attention_update``.
     """
-    e_hats = jnp.maximum(grads * cams, 0.0).mean(axis=1)
+    R_ss = R_ss.astype(jnp.float32)
+    R_sq = R_sq.astype(jnp.float32)
+    prod = grads.astype(jnp.float32) * cams.astype(jnp.float32)
+    e_hats = jnp.maximum(prod, 0.0).mean(axis=1)
 
     def step(carry, e_hat):
         R_ss, R_sq = carry

@@ -253,6 +253,52 @@ def pythia_from_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
     }
 
 
+def _torch_mha_qkv(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention with kdim != embed_dim: separate
+    q/k/v projection weights + one fused in_proj_bias [3D]."""
+    bias = _np(sd[f"{prefix}.in_proj_bias"])
+    D = bias.shape[0] // 3
+    return {
+        "q": {"w": jnp.asarray(_np(sd[f"{prefix}.q_proj_weight"])),
+              "b": jnp.asarray(bias[:D])},
+        "k": {"w": jnp.asarray(_np(sd[f"{prefix}.k_proj_weight"])),
+              "b": jnp.asarray(bias[D:2 * D])},
+        "v": {"w": jnp.asarray(_np(sd[f"{prefix}.v_proj_weight"])),
+              "b": jnp.asarray(bias[2 * D:])},
+        "out": _lin(sd, f"{prefix}.out_proj"),
+    }
+
+
+def pythia_multihead_from_state_dict(sd: Mapping[str, Any],
+                                     cfg) -> Dict[str, Any]:
+    """PythiaMultiHead layout (pythia.py:375-433): encoders +
+    ProjectionEmbedding projectors (``.module.layers``) + per-stream
+    MultiHeadImageFeatureEmbedding lists (``.module`` = torch MHA)."""
+    encs, projs, embs = [], [], []
+    for i, kind in enumerate(cfg.image_encoders):
+        if kind == "finetune":
+            encs.append({"lc": _lin(sd, f"image_feature_encoders.{i}.lc")})
+        else:
+            encs.append({})
+        projs.append({"lc": _lin(
+            sd, f"image_feature_projectors.{i}.module.layers")})
+        embs.append([
+            _torch_mha_qkv(
+                sd, f"image_feature_embeddings_list.{i}.{j}.module")
+            for j in range(cfg.embeddings_per_stream)])
+    return {
+        "word_embedding": jnp.asarray(_np(sd["word_embedding.weight"])),
+        "text_embedding": attention_text_embedding_from_sd(
+            sd, "text_embeddings.0"),
+        "image_encoders": encs,
+        "image_projectors": projs,
+        "image_embeddings": embs,
+        "combine": nlem_from_sd(
+            sd, "image_text_multi_modal_combine_layer.module"),
+        "classifier": logit_classifier_from_sd(sd, "classifier.module"),
+    }
+
+
 def ban_from_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
     return {
         "word_embedding": jnp.asarray(_np(sd["word_embedding.weight"])),

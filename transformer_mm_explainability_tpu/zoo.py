@@ -34,6 +34,7 @@ from transformer_mm_explainability_tpu.models import (
     frcnn,
     fusions,
     lxmert,
+    lxmert_mmf,
     m4c,
     mmbt,
     mmf_bert,
@@ -58,6 +59,10 @@ _MODELS = {
     # registry names (pythia.py:19, lorra.py:7, ban.py:10, butd.py:9,
     # cnn_lstm.py:20, top_down_bottom_up.py:9)
     "pythia": mmf_zoo,
+    "pythia_image_only": mmf_zoo,      # pythia.py:340
+    "pythia_question_only": mmf_zoo,   # pythia.py:314
+    "multihead": mmf_zoo,              # pythia.py:368 (PythiaMultiHead)
+    "lxmert-old": lxmert_mmf,          # lxmert.py:633
     "lorra": mmf_zoo,
     "ban": mmf_zoo,
     "butd": mmf_zoo,
