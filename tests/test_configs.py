@@ -51,6 +51,8 @@ def test_config_resolves(path):
     dc = cfg.get("dataset_config")
     if dc:
         for ds_name, ds_cfg in dc.items():
+            # every dataset named by a shipped config has a builder
+            assert registry.get("builder", ds_name) is not None, ds_name
             procs = ds_cfg.get("processors")
             for _, proc_cfg in (procs.items() if procs else []):
                 ptype = proc_cfg["type"]

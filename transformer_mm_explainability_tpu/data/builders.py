@@ -212,7 +212,10 @@ def _make_builder(name: str, cls) -> type:
 # VQA-protocol builders (each is a thin path-config subclass of
 # VQA2Dataset in the reference as well)
 for _name in ("vqa2", "vqa2_train_val", "vqa2_test", "gqa", "okvqa",
-              "vqacp_v2", "vizwiz", "visual_genome", "textvqa"):
+              "vqacp_v2", "vizwiz", "visual_genome"):
     _make_builder(_name, VQA2Dataset)
 _make_builder("nlvr2", NLVR2Dataset)
 _make_builder("coco", COCOCaptionDataset)
+# textvqa + the rest of the zoo tail (OCR family, hateful_memes,
+# mmimdb, clevr, visual_dialog, visual_entailment, conceptual_captions,
+# vqa_hat) live in extra_builders.py

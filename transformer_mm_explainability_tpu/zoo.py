@@ -14,6 +14,7 @@ from transformer_mm_explainability_tpu.core import losses  # noqa: F401  (regist
 from transformer_mm_explainability_tpu.core import metrics  # noqa: F401  (registers metrics)
 from transformer_mm_explainability_tpu.core.registry import registry
 from transformer_mm_explainability_tpu.data import builders  # noqa: F401  (registers builders)
+from transformer_mm_explainability_tpu.data import extra_builders  # noqa: F401  (registers the builder-zoo tail)
 from transformer_mm_explainability_tpu.data import masked_datasets  # noqa: F401  (registers masked_* builders)
 from transformer_mm_explainability_tpu.data import processors  # noqa: F401  (registers processors)
 from transformer_mm_explainability_tpu.explain import (
