@@ -220,6 +220,90 @@ def test_sp_self_attention_update_bf16_capture():
                                rtol=1e-5, atol=1e-6)
 
 
+def _detr_taps(seed, K, Le, Ld, H, S, Q, dtype=np.float32):
+    rng = np.random.RandomState(seed)
+    mk = lambda *shape: jnp.asarray(rng.randn(*shape).astype(dtype))
+    mkp = lambda *shape: jnp.asarray(
+        np.abs(rng.randn(*shape)).astype(dtype))
+    return ((mkp(K, Le, H, S, S), mk(K, Le, H, S, S)),
+            (mkp(K, Ld, H, Q, Q), mk(K, Ld, H, Q, Q)),
+            (mkp(K, Ld, H, Q, S), mk(K, Ld, H, Q, S)))
+
+
+@pytest.mark.parametrize("normalize,self10,aggregate", [
+    (True, True, True),       # ours_no_lrp
+    (False, True, True),      # ours_no_lrp_no_norm
+    (True, False, True),      # ablation_no_self_in_10
+    (False, True, False),     # ablation_no_aggregation
+])
+def test_sp_detr_relevancy(normalize, self10, aggregate):
+    """The full sharded DETR encoder→decoder propagation equals the
+    single-device explain.detr.relevancy_from_capture for every 'ours'
+    method variant, at an S not divisible by the mesh axis."""
+    from transformer_mm_explainability_tpu.explain import detr as expl
+    from transformer_mm_explainability_tpu.models.detr import DETRTaps
+    from transformer_mm_explainability_tpu.parallel import sp
+
+    mesh = pmesh.make_mesh(jax.devices())
+    K, Le, Ld, H, S, Q = 2, 3, 2, 2, 19, 5
+    (ec, eg), (dsc, dsg), (dxc, dxg) = _detr_taps(5, K, Le, Ld, H, S, Q)
+    tv = jnp.asarray(
+        np.r_[np.ones(S - 3), np.zeros(3)].astype(np.float32))
+
+    def ref_one(a, g):
+        return expl.relevancy_from_capture(
+            a, g, normalize_self_attention=normalize,
+            apply_self_in_rule_10=self10, aggregate=aggregate,
+            token_valid=tv)
+
+    ref = np.asarray(jax.vmap(ref_one)(
+        DETRTaps(ec, dsc, dxc), DETRTaps(eg, dsg, dxg)))
+    out = np.asarray(jax.jit(
+        lambda *t: sp.sp_detr_relevancy(
+            *t, mesh=mesh, axis="tp",
+            normalize_self_attention=normalize,
+            apply_self_in_rule_10=self10, aggregate=aggregate,
+            token_valid=tv))(ec, eg, dsc, dsg, dxc, dxg))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_generate_ours_sp_end_to_end():
+    """explain.detr.generate_ours(mesh=...) == the unsharded generator
+    through the real capture path (tiny DETR, random weights)."""
+    from transformer_mm_explainability_tpu.explain import detr as expl
+    from transformer_mm_explainability_tpu.models import detr as detr_model
+
+    mesh = pmesh.make_mesh(jax.devices())
+    cfg = detr_model.DETRConfig(
+        num_classes=7, num_queries=6, d_model=32, nheads=4,
+        num_encoder_layers=2, num_decoder_layers=2, dim_feedforward=64)
+    params = detr_model.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.randn(64, 96, 3).astype(np.float32))
+    tq = jnp.asarray([0, 3], jnp.int32)
+    tc = jnp.asarray([1, 2], jnp.int32)
+
+    # no_norm variant: nonzero on random weights (the normalized chain
+    # is parity-faithfully all-zero here — eq. 8+9's 0/0 NaN on a random
+    # R_qq row triggers the reference's nan→0 wipe of every rule-10 add)
+    ref = np.asarray(expl.generate_ours(params, image, tq, tc, cfg,
+                                        normalize_self_attention=False))
+    assert np.abs(ref).sum() > 1e-4, "vacuous test: reference map is zero"
+    with mesh:
+        out = np.asarray(expl.generate_ours(
+            params, image, tq, tc, cfg, normalize_self_attention=False,
+            mesh=mesh, sp_axis="tp"))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+    # normalized variant: pins that the sharded chain reproduces the
+    # NaN-wipe semantics exactly (both sides zero on these weights)
+    ref_n = np.asarray(expl.generate_ours(params, image, tq, tc, cfg))
+    with mesh:
+        out_n = np.asarray(expl.generate_ours(params, image, tq, tc, cfg,
+                                              mesh=mesh, sp_axis="tp"))
+    np.testing.assert_allclose(out_n, ref_n, rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_sp_update_detr_protocol_scale():
     """The shape that motivated sp.py: DETR encoder accumulation at

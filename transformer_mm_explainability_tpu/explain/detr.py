@@ -30,7 +30,11 @@ from transformer_mm_explainability_tpu.ops import relevancy as rl
 
 
 def _avg(cam, grad):
-    return jnp.maximum(grad * cam, 0.0).mean(axis=0)
+    # Ê and both carries accumulate in fp32 regardless of the capture
+    # dtype (same resolution as ops/relevancy.py rules 6+7 and the
+    # sharded counterpart parallel/sp.sp_detr_relevancy)
+    prod = grad.astype(jnp.float32) * cam.astype(jnp.float32)
+    return jnp.maximum(prod, 0.0).mean(axis=0)
 
 
 def relevancy_from_capture(
@@ -50,7 +54,7 @@ def relevancy_from_capture(
     (see ops/relevancy.handle_residual)."""
     S = attn.enc_self.shape[-1]
     Q = attn.dec_self.shape[-1]
-    dt = attn.enc_self.dtype
+    dt = jnp.float32
 
     def enc_step(R_ii, x):
         cam, grad = x
@@ -93,6 +97,25 @@ def _per_example(attn: DETRTaps, grads: DETRTaps, fn):
     return jax.vmap(fn)(batchify(attn), batchify(grads))
 
 
+def _sp_relevancy(attn: DETRTaps, grads: DETRTaps, mesh, sp_axis,
+                  normalize_self_attention, apply_self_in_rule_10,
+                  aggregate, token_valid):
+    """Route the propagation chain through the sequence-parallel layout
+    (parallel/sp.sp_detr_relevancy): the [L, K, H, S, S] encoder taps
+    and the [S, S] carry are row-sharded over ``mesh[sp_axis]`` — the
+    memory/bandwidth win for DETR's S ≈ 1900 at protocol 800px."""
+    from transformer_mm_explainability_tpu.parallel import sp as psp
+
+    batchify = lambda t: DETRTaps(*(jnp.moveaxis(a, 1, 0) for a in t))
+    a, g = batchify(attn), batchify(grads)
+    return psp.sp_detr_relevancy(
+        a.enc_self, g.enc_self, a.dec_self, g.dec_self,
+        a.dec_cross, g.dec_cross, mesh, axis=sp_axis,
+        normalize_self_attention=normalize_self_attention,
+        apply_self_in_rule_10=apply_self_in_rule_10,
+        aggregate=aggregate, token_valid=token_valid)
+
+
 def _token_valid(image: jnp.ndarray, pad_valid, cfg) -> Optional[jnp.ndarray]:
     """pad_valid [H, W] → flattened [S] encoder-token mask, the same
     strided downsample the captured forward uses (models/detr.forward)."""
@@ -113,35 +136,51 @@ def generate_ours(
     pad_valid: Optional[jnp.ndarray] = None,  # [H, W] 1=valid
     normalize_self_attention: bool = True,
     apply_self_in_rule_10: bool = True,
+    mesh=None,
+    sp_axis: str = "tp",
 ) -> jnp.ndarray:
-    """K relevancy rows [K, S]: one shared forward + K-batched VJP."""
+    """K relevancy rows [K, S]: one shared forward + K-batched VJP.
+
+    With ``mesh`` set, the O(S²) propagation chain runs sequence-parallel
+    over ``mesh[sp_axis]`` (parallel/sp.py) — identical math, row-sharded
+    taps and carry."""
     oh = _one_hots(target_queries, target_classes, cfg)
     _, attn, grads = detr_model.capture_multi(params, image, oh,
                                               pad_valid, cfg)
     tv = _token_valid(image, pad_valid, cfg)
-    R_qi = _per_example(
-        attn, grads,
-        lambda a, g: relevancy_from_capture(
-            a, g, normalize_self_attention, apply_self_in_rule_10,
-            token_valid=tv))
+    if mesh is not None:
+        R_qi = _sp_relevancy(attn, grads, mesh, sp_axis,
+                             normalize_self_attention,
+                             apply_self_in_rule_10, True, tv)
+    else:
+        R_qi = _per_example(
+            attn, grads,
+            lambda a, g: relevancy_from_capture(
+                a, g, normalize_self_attention, apply_self_in_rule_10,
+                token_valid=tv))
     return jnp.take_along_axis(R_qi, target_queries[:, None, None],
                                axis=1)[:, 0]
 
 
 def generate_ours_no_agg(params, image, target_queries, target_classes,
                          cfg=detr_model.DETR_R50, pad_valid=None,
-                         normalize_self_attention: bool = False):
+                         normalize_self_attention: bool = False,
+                         mesh=None, sp_axis: str = "tp"):
     """Ablation: overwrite instead of aggregate
     (GeneratorAlbationNoAgg, ExplanationGenerator.py:310-403)."""
     oh = _one_hots(target_queries, target_classes, cfg)
     _, attn, grads = detr_model.capture_multi(params, image, oh,
                                               pad_valid, cfg)
     tv = _token_valid(image, pad_valid, cfg)
-    R_qi = _per_example(
-        attn, grads,
-        lambda a, g: relevancy_from_capture(
-            a, g, normalize_self_attention, True, aggregate=False,
-            token_valid=tv))
+    if mesh is not None:
+        R_qi = _sp_relevancy(attn, grads, mesh, sp_axis,
+                             normalize_self_attention, True, False, tv)
+    else:
+        R_qi = _per_example(
+            attn, grads,
+            lambda a, g: relevancy_from_capture(
+                a, g, normalize_self_attention, True, aggregate=False,
+                token_valid=tv))
     return jnp.take_along_axis(R_qi, target_queries[:, None, None],
                                axis=1)[:, 0]
 
@@ -194,6 +233,7 @@ def generate_ours_lrp(
     cfg=detr_model.DETR_R50, pad_valid=None,
     normalize_self_attention: bool = True,
     apply_self_in_rule_10: bool = True,
+    mesh=None, sp_axis: str = "tp",
 ):
     """'ours_with_lrp' (ExplanationGenerator.py:142-195 use_lrp=True):
     the propagation chain consumes relprop cams instead of raw A."""
@@ -202,11 +242,16 @@ def generate_ours_lrp(
                                               pad_valid, cfg)
     cams = _relprop_cams(params, image, oh, cfg, pad_valid)
     tv = _token_valid(image, pad_valid, cfg)
-    R_qi = _per_example(
-        cams, grads,
-        lambda a, g: relevancy_from_capture(
-            a, g, normalize_self_attention, apply_self_in_rule_10,
-            token_valid=tv))
+    if mesh is not None:
+        R_qi = _sp_relevancy(cams, grads, mesh, sp_axis,
+                             normalize_self_attention,
+                             apply_self_in_rule_10, True, tv)
+    else:
+        R_qi = _per_example(
+            cams, grads,
+            lambda a, g: relevancy_from_capture(
+                a, g, normalize_self_attention, apply_self_in_rule_10,
+                token_valid=tv))
     return jnp.take_along_axis(R_qi, target_queries[:, None, None],
                                axis=1)[:, 0]
 
@@ -222,20 +267,23 @@ DETR_METHODS = (
 
 
 def generate(method: str, params, image, target_queries, target_classes,
-             cfg=detr_model.DETR_R50, pad_valid=None) -> jnp.ndarray:
+             cfg=detr_model.DETR_R50, pad_valid=None,
+             mesh=None, sp_axis: str = "tp") -> jnp.ndarray:
     """Dispatch any reference method name → [K, S] relevancy rows
-    (mask_generator.py:95-115)."""
+    (mask_generator.py:95-115). With ``mesh``, the "ours" family's
+    O(S²) propagation runs sequence-parallel over ``mesh[sp_axis]``."""
     args = (params, image, target_queries, target_classes, cfg, pad_valid)
+    sp = dict(mesh=mesh, sp_axis=sp_axis)
     if method == "ours_no_lrp":
-        return generate_ours(*args)
+        return generate_ours(*args, **sp)
     if method == "ours_no_lrp_no_norm":
-        return generate_ours(*args, normalize_self_attention=False)
+        return generate_ours(*args, normalize_self_attention=False, **sp)
     if method == "ablation_no_self_in_10":
-        return generate_ours(*args, apply_self_in_rule_10=False)
+        return generate_ours(*args, apply_self_in_rule_10=False, **sp)
     if method == "ablation_no_aggregation":
-        return generate_ours_no_agg(*args)
+        return generate_ours_no_agg(*args, **sp)
     if method == "ours_with_lrp":
-        return generate_ours_lrp(*args)
+        return generate_ours_lrp(*args, **sp)
     if method not in DETR_METHODS:
         raise ValueError(
             f"unknown DETR explanation method {method!r}; valid: "

@@ -88,8 +88,15 @@ def explain_image(
     cfg: detr_model.DETRConfig = detr_model.DETR_R50,
     segm_cfg: SegmConfig = SegmConfig(),
     pad_valid: Optional[jnp.ndarray] = None,
+    mesh=None,
+    sp_axis: str = "tp",
 ) -> Dict[str, np.ndarray]:
-    """Full per-image pipeline → dict with detections + binary masks."""
+    """Full per-image pipeline → dict with detections + binary masks.
+
+    ``mesh`` routes the "ours" relevancy chains sequence-parallel over
+    ``mesh[sp_axis]`` (parallel/sp.py): at the protocol's 800px the
+    encoder taps are [6, K, 8, S≈1900, S] — row-sharding them is the
+    memory headroom for larger K per pass."""
     batch_valid = None if pad_valid is None else pad_valid[None]
     out = detr_model.forward(params, image[None], batch_valid, cfg)
     logits = np.asarray(out["pred_logits"][0])
@@ -116,7 +123,7 @@ def explain_image(
     if k_pad <= chunk:
         rel = expl_detr.generate(segm_cfg.method, params, image,
                                  jnp.asarray(q), jnp.asarray(c), cfg,
-                                 pad_valid)
+                                 pad_valid, mesh=mesh, sp_axis=sp_axis)
     else:
         parts = []
         for s in range(0, k_pad, chunk):
@@ -126,7 +133,8 @@ def explain_image(
             qs[:e - s], cs[:e - s] = q[s:e], c[s:e]
             part = expl_detr.generate(
                 segm_cfg.method, params, image, jnp.asarray(qs),
-                jnp.asarray(cs), cfg, pad_valid)
+                jnp.asarray(cs), cfg, pad_valid, mesh=mesh,
+                sp_axis=sp_axis)
             parts.append(part[:e - s])
         rel = jnp.concatenate(parts, axis=0)
 

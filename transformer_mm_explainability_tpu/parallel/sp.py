@@ -116,6 +116,10 @@ def sp_self_attention_update(
     R_sq = jnp.pad(R_sq, ((0, s_pad - S), (0, 0)))
 
     def chain(cam_loc, grad_loc, rss_loc, rsq_loc):
+        # carries accumulate in fp32 like Ê (matches the single-device
+        # self_attention_relevancy_update; bf16 captures stay exact)
+        rss_loc = rss_loc.astype(jnp.float32)
+        rsq_loc = rsq_loc.astype(jnp.float32)
         prod = grad_loc.astype(jnp.float32) * cam_loc.astype(jnp.float32)
         e_loc = jnp.maximum(prod, 0.0).mean(axis=1)  # [L, Sl, Sp]
 
@@ -140,6 +144,142 @@ def sp_self_attention_update(
         out_specs=(P(axis, None), P(axis, None)), check_vma=False,
     )(cams, grads, R_ss, R_sq)
     return rss[:S, :S], rsq[:S, :Q]
+
+
+def sp_detr_relevancy(
+    enc_cams: jnp.ndarray,      # [K, Le, H, S, S]
+    enc_grads: jnp.ndarray,     # [K, Le, H, S, S]
+    dec_self_cams: jnp.ndarray,   # [K, Ld, H, Q, Q]
+    dec_self_grads: jnp.ndarray,  # [K, Ld, H, Q, Q]
+    dec_cross_cams: jnp.ndarray,   # [K, Ld, H, Q, S]
+    dec_cross_grads: jnp.ndarray,  # [K, Ld, H, Q, S]
+    mesh: Mesh,
+    axis: str = "tp",
+    normalize_self_attention: bool = True,
+    apply_self_in_rule_10: bool = True,
+    aggregate: bool = True,
+    token_valid: jnp.ndarray | None = None,  # [S] 1 = real encoder token
+) -> jnp.ndarray:
+    """Sequence-parallel DETR propagation → ``R_q_i`` ``[K, Q, S]``.
+
+    The sharded counterpart of ``explain.detr.relevancy_from_capture``
+    (reference DETR/modules/ExplanationGenerator.py:110-195): this is
+    THE big-S case — at the protocol's 800px the encoder has S ≈ 1900
+    tokens, so the per-layer taps are [6, 8, 1900, 1900] (~0.7 GB fp32
+    per K) and the carry ``R_i_i`` is [1900, 1900]. Layout:
+
+      * encoder taps and ``R_i_i`` rows are sharded over ``mesh[axis]``
+        (each chip holds [S/k, S] blocks) — the encoder chain is the
+        ``sp_self_attention_relevancy`` recurrence (one ``all_gather``
+        of the carry per layer, local row-block matmul on the MXU);
+      * eq. 8+9 on ``R_i_i`` is row-local (rows are whole in a shard);
+      * decoder carries ``R_q_q`` [Q, Q] / ``R_q_i`` [Q, S] are tiny and
+        stay replicated; the rule-10 bridge ``Ê_qi @ norm(R_i_i)``
+        contracts over the sharded rows — the cross-attention taps are
+        key-sharded and each chip's partial product is ``psum``-reduced
+        over ICI.
+
+    Padding S to a multiple of the mesh axis is exact: padded Ê rows /
+    columns are zero, padded ``R_i_i`` rows stay identity rows, and the
+    eq. 8+9 valid-mask pins them inert (``ops.relevancy.handle_residual``
+    documents the NaN-poisoning this prevents). ``token_valid`` defaults
+    to all-ones over the real S.
+    """
+    k = mesh.shape[axis]
+    K, Le, H, S, _ = enc_cams.shape
+    Q = dec_self_cams.shape[-1]
+    s_pad = -(-S // k) * k
+    enc_cams = _pad_rows_cols(enc_cams, s_pad)
+    enc_grads = _pad_rows_cols(enc_grads, s_pad)
+    pad_last = [(0, 0)] * 4 + [(0, s_pad - S)]
+    dec_cross_cams = jnp.pad(dec_cross_cams, pad_last)
+    dec_cross_grads = jnp.pad(dec_cross_grads, pad_last)
+    if token_valid is None:
+        token_valid = jnp.ones((S,), jnp.float32)
+    token_valid = jnp.pad(token_valid.astype(jnp.float32),
+                          (0, s_pad - S))
+
+    def _avg32(cam, grad):
+        prod = grad.astype(jnp.float32) * cam.astype(jnp.float32)
+        return jnp.maximum(prod, 0.0).mean(axis=-3)
+
+    def chain(ec, eg, dsc, dsg, dxc, dxg, valid_loc):
+        s_local = ec.shape[-2]
+        eye_loc = _local_identity_rows(axis, s_local, s_pad)
+
+        def per_k(ec, eg, dsc, dsg, dxc, dxg):
+            e_enc = _avg32(ec, eg)                     # [Le, Sl, Sp]
+
+            def enc_step(r_loc, e_l):
+                r_full = jax.lax.all_gather(r_loc, axis, axis=0,
+                                            tiled=True)
+                add = e_l @ r_full
+                return (r_loc + add if aggregate else add), None
+
+            r_loc, _ = jax.lax.scan(enc_step, eye_loc, e_enc)
+
+            if normalize_self_attention:
+                # handle_residual on the row-sharded R_i_i: each row is
+                # whole in its shard, so eq. 8+9 is fully local
+                r_hat = r_loc - eye_loc
+                denom = r_hat.sum(axis=-1, keepdims=True)
+                v = valid_loc[:, None]
+                r_hat = r_hat * v
+                denom = jnp.where(v > 0, denom, 1.0)
+                r_ii_b = r_hat / denom + eye_loc       # [Sl, Sp]
+            else:
+                r_ii_b = r_loc
+
+            def dec_step(carry, x):
+                R_qq, R_qi = carry
+                (c_s, g_s), (c_x_loc, g_x_loc) = x
+                e_qq = _avg32(c_s, g_s)                # [Q, Q]
+                add_qq = e_qq @ R_qq
+                add_qi = e_qq @ R_qi
+                if aggregate:
+                    R_qq, R_qi = R_qq + add_qq, R_qi + add_qi
+                else:
+                    R_qq, R_qi = add_qq, add_qi
+                cam_qi_loc = _avg32(c_x_loc, g_x_loc)  # [Q, Sl]
+                if apply_self_in_rule_10:
+                    # rule 10: norm(R_qq)ᵀ @ (Ê_qi @ norm(R_ii)); the
+                    # inner bridge contracts over the sharded rows
+                    inner = jax.lax.psum(cam_qi_loc @ r_ii_b, axis)
+                    if normalize_self_attention:
+                        eye_q = jnp.eye(Q, dtype=R_qq.dtype)
+                        q_hat = R_qq - eye_q
+                        q_norm = (q_hat / q_hat.sum(-1, keepdims=True)
+                                  + eye_q)
+                    else:
+                        q_norm = R_qq
+                    add = q_norm.T @ inner
+                else:
+                    add = jax.lax.all_gather(cam_qi_loc, axis, axis=1,
+                                             tiled=True)
+                add = jnp.nan_to_num(add, nan=0.0)
+                R_qi = (R_qi + add) if aggregate else add
+                return (R_qq, R_qi), None
+
+            carry0 = (jnp.eye(Q, dtype=jnp.float32),
+                      jnp.zeros((Q, s_pad), jnp.float32))
+            (_, R_qi), _ = jax.lax.scan(
+                dec_step, carry0, ((dsc, dsg), (dxc, dxg)))
+            return R_qi
+
+        return jax.vmap(per_k)(ec, eg, dsc, dsg, dxc, dxg)
+
+    enc_spec = P(None, None, None, axis, None)
+    dec_self_spec = P(None, None, None, None, None)
+    dec_cross_spec = P(None, None, None, None, axis)
+    out = jax.shard_map(
+        chain, mesh=mesh,
+        in_specs=(enc_spec, enc_spec, dec_self_spec, dec_self_spec,
+                  dec_cross_spec, dec_cross_spec, P(axis)),
+        out_specs=P(None, None, None),
+        check_vma=False,
+    )(enc_cams, enc_grads, dec_self_cams, dec_self_grads,
+      dec_cross_cams, dec_cross_grads, token_valid)
+    return out[:, :, :S]
 
 
 def sp_rollout_attention(
