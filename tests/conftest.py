@@ -50,6 +50,17 @@ def load_reference_module(relpath: str, name: str):
     return mod
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: protocol-scale / heavy-compile tests (excluded from the "
+        "quick tier; run the full suite to include them)")
+    config.addinivalue_line(
+        "markers",
+        "quick: auto-applied to everything not marked slow — "
+        "`-m quick` is the <3-minute gate tier")
+
+
 def pytest_collection_modifyitems(config, items):
     """Randomize MODULE execution order when MM_TPU_RANDOM_ORDER is set
     (to an integer seed, or `1`/empty for a time-free default sweep).
@@ -62,6 +73,10 @@ def pytest_collection_modifyitems(config, items):
 
         MM_TPU_RANDOM_ORDER=3 python -m pytest tests/ -q
     """
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
     seed_s = os.environ.get("MM_TPU_RANDOM_ORDER")
     if seed_s is None:
         return
