@@ -13,38 +13,51 @@ from transformer_mm_explainability_tpu.core import config as C  # noqa: E402
 from transformer_mm_explainability_tpu.core.registry import registry  # noqa: E402
 
 CONFIG_DIR = pathlib.Path(__file__).resolve().parents[1] / "configs"
-CONFIGS = sorted(CONFIG_DIR.glob("*/*.yaml"))
+# family configs (top level) + the full translated reference matrix
+# (configs/{datasets,models,projects}/** mirroring mmf/configs +
+# projects/** — every model x dataset project yaml the reference ships)
+CONFIGS = sorted(CONFIG_DIR.rglob("*.yaml"))
+PROJECT_CONFIGS = sorted((CONFIG_DIR / "projects").rglob("*.yaml"))
 
 
 def test_config_zoo_nonempty():
-    assert len(CONFIGS) >= 12
+    assert len(CONFIGS) >= 250
+    assert len(PROJECT_CONFIGS) >= 180
 
 
-@pytest.mark.parametrize("path", CONFIGS, ids=lambda p: f"{p.parent.name}/{p.stem}")
+@pytest.mark.parametrize(
+    "path", CONFIGS,
+    ids=lambda p: str(p.relative_to(CONFIG_DIR))[:-len(".yaml")])
 def test_config_resolves(path):
-    cfg = C.Config(C.load_yaml(str(path)))
-    model = cfg["model"]
-    assert registry.get("model", model) is not None
+    cfg = C.Config(C.load_yaml(str(path))).resolve_interpolations()
+    model = cfg.get("model")
+    if model is not None:
+        assert registry.get("model", model) is not None
 
     mc = cfg.get("model_config")
-    if mc and model in mc and "losses" in mc[model]:
-        for spec in mc[model]["losses"]:
+    for mkey in (mc or {}):
+        for spec in (mc[mkey] or {}).get("losses") or []:
             name = spec["type"] if hasattr(spec, "keys") else spec
             assert registry.get("loss", name) is not None, name
 
-    if "optimizer" in cfg:
-        assert registry.get("optimizer", cfg["optimizer"]["type"])
+    opt = cfg.get("optimizer")
+    if opt and "type" in opt:
+        assert registry.get("optimizer", opt["type"])
 
-    if "scheduler" in cfg:
-        sched_cfg = cfg["scheduler"]
+    sched_cfg = cfg.get("scheduler")
+    if sched_cfg and "type" in sched_cfg:
         factory = registry.get("scheduler", sched_cfg["type"])
         params = sched_cfg.get("params")
         kw = params.to_dict() if params else {}
-        sched = factory(**kw)
-        assert float(sched(0)) >= 0.0
+        # matrix yamls may reference training.* values that live in a
+        # sibling include level; only instantiate fully-numeric specs
+        if all(not isinstance(v, str) or not v.startswith("${")
+               for v in kw.values()):
+            sched = factory(**kw)
+            assert float(sched(0)) >= 0.0
 
     if "evaluation" in cfg:
-        for m in cfg["evaluation"]["metrics"]:
+        for m in cfg["evaluation"].get("metrics") or []:
             name = m["type"] if hasattr(m, "keys") else m
             assert registry.get("metric", name) is not None, name
 
@@ -53,13 +66,15 @@ def test_config_resolves(path):
         for ds_name, ds_cfg in dc.items():
             # every dataset named by a shipped config has a builder
             assert registry.get("builder", ds_name) is not None, ds_name
-            procs = ds_cfg.get("processors")
+            procs = (ds_cfg or {}).get("processors") if ds_cfg else None
             for _, proc_cfg in (procs.items() if procs else []):
+                if not proc_cfg or "type" not in proc_cfg:
+                    continue
                 ptype = proc_cfg["type"]
                 assert registry.get("processor", ptype) is not None, ptype
                 # nested preprocessors must resolve too
                 params = proc_cfg.get("params")
-                if params:
+                if params and hasattr(params, "get"):
                     for key in ("preprocessor", "context_preprocessor"):
                         sub = params.get(key)
                         if sub:
@@ -71,3 +86,34 @@ def test_config_override_cascade():
     cfg.merge_dotlist(["training.batch_size=8", "optimizer.params.lr=0.5"])
     assert cfg["training"]["batch_size"] == 8
     assert cfg["optimizer"]["params"]["lr"] == 0.5
+
+
+def test_interpolation_resolution():
+    cfg = C.Config({
+        "training": {"max_updates": 22000},
+        "env_path": "${env.data_dir}/datasets",
+        "scheduler": {"params": {"num_training_steps":
+                                 "${training.max_updates}"}},
+        "embedded": "steps=${training.max_updates}!",
+        "dangling": "${no.such.key}",
+    }).resolve_interpolations()
+    assert cfg["scheduler"]["params"]["num_training_steps"] == 22000
+    assert cfg["embedded"] == "steps=22000!"
+    assert cfg["env_path"].endswith("/datasets")
+    assert not cfg["env_path"].startswith("${")
+    assert cfg["dangling"] == "${no.such.key}"
+
+
+def test_includes_cascade_project_yaml():
+    """A project yaml pulls its dataset+model defaults through the
+    MMF ``includes:`` convention and its own overrides win."""
+    path = (CONFIG_DIR / "projects" / "visual_bert" / "configs" /
+            "vqa2" / "defaults.yaml")
+    cfg = C.Config(C.load_yaml(str(path))).resolve_interpolations()
+    # from configs/datasets/vqa2/defaults.yaml via includes
+    assert cfg["dataset_config"]["vqa2"]["max_features"] == 100
+    # from configs/models/visual_bert/pretrain.yaml via includes,
+    # overridden by the project yaml itself
+    assert cfg["model_config"]["visual_bert"]["training_head_type"] == (
+        "classification")
+    assert cfg["training"]["batch_size"] == 480

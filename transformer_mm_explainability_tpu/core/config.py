@@ -138,6 +138,61 @@ class Config:
                                  else _interp(v))
         return self
 
+    def resolve_interpolations(self, env: Optional[Mapping[str, Any]] = None
+                               ) -> "Config":
+        """Resolve OmegaConf-style ``${a.b.c}`` references against the
+        root of this config (mmf/utils/configuration.py resolves via
+        OmegaConf at build time). ``${env.*}`` keys draw from ``env``
+        (default: ``data_dir``/``save_dir`` from MMF's env defaults,
+        overridable by MMF_DATA_DIR/MMF_SAVE_DIR). A string that IS a
+        single reference takes the referenced value's type; embedded
+        references substitute ``str(value)``. Dangling references are
+        left untouched (the matrix ships paths that are only resolvable
+        at data-load time)."""
+        env = dict(env or {})
+        env.setdefault("data_dir",
+                       os.environ.get("MMF_DATA_DIR", "data"))
+        env.setdefault("save_dir",
+                       os.environ.get("MMF_SAVE_DIR", "./save"))
+        pattern = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_.]*)\}")
+
+        def lookup(path: str):
+            if path.startswith("env."):
+                return env.get(path[4:])
+            node: Any = self
+            for part in path.split("."):
+                if isinstance(node, Config) and part in node:
+                    node = node[part]
+                else:
+                    return None
+            return node
+
+        def resolve(value, depth=0):
+            if not isinstance(value, str) or depth > 8:
+                return value
+            m = pattern.fullmatch(value)
+            if m:
+                ref = lookup(m.group(1))
+                return value if ref is None else resolve(ref, depth + 1)
+
+            def sub(mm):
+                ref = lookup(mm.group(1))
+                return mm.group(0) if ref is None else str(
+                    resolve(ref, depth + 1))
+            return pattern.sub(sub, value)
+
+        def walk(node):
+            for k, v in list(node._data.items()):
+                if isinstance(v, Config):
+                    walk(v)
+                elif isinstance(v, list):
+                    node._data[k] = [
+                        resolve(x) if isinstance(x, str) else x for x in v]
+                else:
+                    node._data[k] = resolve(v)
+        walk(self)
+        return self
+
     def merge_dotlist(self, overrides: List[str]) -> "Config":
         """Apply ``a.b.c=value`` CLI overrides (the MMF ``opts``)."""
         for item in overrides:
@@ -154,19 +209,64 @@ class Config:
         return self
 
 
-def load_yaml(path: str) -> Dict[str, Any]:
-    """YAML loader (PyYAML when present; JSON files always work)."""
-    with open(path) as f:
-        text = f.read()
-    if path.endswith(".json"):
-        return json.loads(text)
-    try:
-        import yaml  # type: ignore
+def _resolve_include(inc: str, including_dir: str) -> str:
+    """Resolve an ``includes:`` entry: absolute paths win; then
+    relative to the including file; then relative to each ancestor
+    directory (so repo-root-anchored paths like
+    ``configs/datasets/vqa2/defaults.yaml`` work from any project
+    yaml, the MMF root-relative convention —
+    mmf/utils/configuration.py load_yaml)."""
+    if os.path.isabs(inc):
+        return inc
+    cand = os.path.normpath(os.path.join(including_dir, inc))
+    if os.path.exists(cand):
+        return cand
+    d = including_dir
+    while True:
+        cand = os.path.normpath(os.path.join(d, inc))
+        if os.path.exists(cand):
+            return cand
+        parent = os.path.dirname(d)
+        if parent == d:
+            raise FileNotFoundError(
+                f"include {inc!r} not found relative to "
+                f"{including_dir!r} or any ancestor")
+        d = parent
 
-        return yaml.safe_load(text) or {}
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "PyYAML unavailable — use .json configs") from e
+
+def load_yaml(path: str, _stack: Optional[List[str]] = None) -> Dict[str, Any]:
+    """YAML loader (PyYAML when present; JSON files always work).
+
+    Supports the MMF ``includes:`` convention: the key is popped, each
+    listed file is loaded recursively and deep-merged in order, and the
+    file's own content merges on top (mmf/utils/configuration.py
+    load_yaml + OmegaConf.merge semantics)."""
+    apath = os.path.abspath(path)
+    stack = _stack or []
+    if apath in stack:
+        chain = " -> ".join(stack + [apath])
+        raise RuntimeError(f"circular config include: {chain}")
+    with open(apath) as f:
+        text = f.read()
+    if apath.endswith(".json"):
+        data = json.loads(text)
+    else:
+        try:
+            import yaml  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "PyYAML unavailable — use .json configs") from e
+        data = yaml.safe_load(text) or {}
+    includes = data.pop("includes", None) if isinstance(data, dict) else None
+    if not includes:
+        return data
+    base = Config()
+    here = os.path.dirname(apath)
+    for inc in includes:
+        base.merge(load_yaml(_resolve_include(str(inc), here),
+                             stack + [apath]))
+    base.merge(data)
+    return base.to_dict()
 
 
 def build_config(
@@ -184,4 +284,4 @@ def build_config(
         cfg.merge_dotlist(overrides)
     if config_override_json:
         cfg.merge(json.loads(config_override_json))
-    return cfg
+    return cfg.resolve_interpolations()
