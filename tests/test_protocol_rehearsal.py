@@ -1,0 +1,41 @@
+"""The protocol-rehearsal runners (tools/protocol_rehearsal.py) must
+assemble and execute end-to-end; tiny scale here, true scale on-chip
+(PROTOCOL_r03.json is the recorded artifact)."""
+
+import numpy as np
+import pytest
+
+from transformer_mm_explainability_tpu.tools import protocol_rehearsal as pr
+
+
+@pytest.mark.slow
+def test_visualbert_rehearsal_tiny(capsys):
+    out = pr.rehearse_visualbert(
+        num_samples=3, batch_size=3,
+        sweeps=[{"positive": False, "text_pert": False}],
+        printer=lambda *a: None)
+    sweep = out["sweeps"][0]
+    assert sweep["num_samples"] == 3
+    assert len(sweep["step_accuracies"]) == 9
+    assert np.isfinite(sweep["auc"])
+    assert sweep["wall_s"] > 0
+
+
+@pytest.mark.slow
+def test_lxmert_rehearsal_tiny():
+    out = pr.rehearse_lxmert(num_samples=2, image_hw=(128, 160),
+                             text_len=8, printer=lambda *a: None)
+    assert out["num_samples"] == 2
+    assert len(out["step_accuracies"]) == 9
+    assert np.isfinite(out["auc"])
+
+
+@pytest.mark.slow
+def test_detr_rehearsal_tiny(tmp_path):
+    out = pr.rehearse_detr(num_images=2, confidence_threshold=0.005,
+                           max_queries_per_pass=4, shortest=128,
+                           source_hw=(96, 128), tmpdir=str(tmp_path),
+                           printer=lambda *a: None)
+    assert out["num_images"] == 2
+    assert "AP" in out["stats"]
+    assert np.isfinite(out["stats"]["AP"])

@@ -137,6 +137,27 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
 
     sp = sub.add_parser("bench", help="run the ViT-B throughput bench")
+
+    sp = sub.add_parser(
+        "verify-parity",
+        help="executable <1e-4 parity check vs reference fixtures "
+             "(pass --weights the day the published checkpoint exists)")
+    sp.add_argument("--family", required=True,
+                    help="vit | clip | visual_bert | lxmert | detr")
+    sp.add_argument("--weights", default=None,
+                    help="published torch checkpoint to convert+verify")
+    sp.add_argument("--reference", default="/root/reference",
+                    help="reference checkout (for --weights re-runs)")
+    sp.add_argument("--generate", action="store_true",
+                    help="(re)generate the fixture from the in-process "
+                         "reference generator")
+
+    sp = sub.add_parser(
+        "protocol-rehearsal",
+        help="protocol-scale rehearsal of the quantitative harnesses")
+    sp.add_argument("--protocol", default="all",
+                    choices=["all", "visualbert", "lxmert", "detr"])
+    sp.add_argument("--out", default=None)
     return p
 
 
@@ -349,6 +370,23 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         bench.main()
         return 0
+    if args.command == "verify-parity":
+        from transformer_mm_explainability_tpu.tools import verify_parity
+
+        vp_args = ["--family", args.family, "--reference", args.reference]
+        if args.weights:
+            vp_args += ["--weights", args.weights]
+        if args.generate:
+            vp_args.append("--generate")
+        return verify_parity.main(vp_args)
+    if args.command == "protocol-rehearsal":
+        from transformer_mm_explainability_tpu.tools import (
+            protocol_rehearsal)
+
+        pr_args = ["--protocol", args.protocol]
+        if args.out:
+            pr_args += ["--out", args.out]
+        return protocol_rehearsal.main(pr_args)
     return 2
 
 

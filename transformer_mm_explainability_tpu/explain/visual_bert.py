@@ -45,11 +45,17 @@ def generate_ours(attn: jnp.ndarray, grads: jnp.ndarray,
 def generate_transformer_att(cams_lrp: jnp.ndarray, grads: jnp.ndarray,
                              cls_index: jnp.ndarray,
                              start_layer: int = 0) -> jnp.ndarray:
-    """Grad-weighted LRP-cam rollout (row-normalised), per example.
-    ``cams_lrp``: [L, B, H, S, S] relprop cams."""
+    """Grad-weighted LRP-cam rollout, per example.
+    ``cams_lrp``: [L, B, H, S, S] relprop cams.
+
+    The VisualBERT copy of ``compute_rollout_attention`` has the row
+    normalisation commented out (ExplanationGenerator.py:11-13), so this
+    is the bare ∏(I+Ê) chain — which makes it mathematically identical
+    to the "ours" recursion fed the same cams."""
     def per_example(c, g):
         e = jnp.maximum(g * c, 0.0).mean(axis=1)  # [L, S, S]
-        return rl.compute_rollout_attention(e, start_layer=start_layer)
+        return rl.compute_rollout_attention(e, start_layer=start_layer,
+                                            normalize=False)
 
     R = jax.vmap(per_example)(
         jnp.moveaxis(cams_lrp, 1, 0), jnp.moveaxis(grads, 1, 0)

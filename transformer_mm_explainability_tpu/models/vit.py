@@ -417,6 +417,39 @@ def relevancy_fused(
     return r[:, 1:]
 
 
+def relevancy_fused_forward_probe(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """EXACTLY the forward subprogram of ``relevancy_fused`` (embed +
+    taping scan over flash-attention blocks + head), returning the
+    logits. Used by ``tools/roofline.py`` to split the measured
+    wall-clock into forward vs backward shares; not a user API."""
+    from transformer_mm_explainability_tpu.ops import flash_attention as fa
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    Hn, eps = cfg.num_heads, cfg.ln_eps
+    x = _embed(params, images, cfg)
+
+    def fwd_step(x, p):
+        h1 = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], eps)
+        qkv = h1 @ p["attn"].w_qkv + p["attn"].b_qkv
+        out = fa.flash_fwd_qkv(qkv, Hn, interpret=interpret)
+        x_mid = x + out @ p["attn"].w_out + p["attn"].b_out
+        h2 = layer_norm(x_mid, p["ln2"]["scale"], p["ln2"]["bias"], eps)
+        a1 = h2 @ p["mlp"]["w1"] + p["mlp"]["b1"]
+        x_out = x_mid + gelu(a1) @ p["mlp"]["w2"] + p["mlp"]["b2"]
+        return x_out, (x, x_mid, a1)
+
+    x_final, _ = jax.lax.scan(fwd_step, x, params["blocks"])
+    h = layer_norm(x_final, params["norm"]["scale"], params["norm"]["bias"],
+                   eps)
+    return h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+
+
 def relevancy(
     params: Dict[str, Any],
     images: jnp.ndarray,

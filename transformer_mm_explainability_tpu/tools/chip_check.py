@@ -26,9 +26,13 @@ the tool itself cannot rot.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 import numpy as np
+
+# per-run record of every _report call, for the --out JSON artifact
+RECORDS: list = []
 
 
 def _report(name: str, got, want, tol: float, atol: float = 0.0) -> bool:
@@ -41,6 +45,9 @@ def _report(name: str, got, want, tol: float, atol: float = 0.0) -> bool:
     # scale is tiny (relevancy rows sum to ~1e-2 at B=4), turning
     # float-noise absolutes into large relatives
     ok = bool(rel <= tol or adiff <= atol)
+    RECORDS.append({"kernel": name, "max_abs_delta": float(adiff),
+                    "rel": float(rel), "tol": tol, "atol": atol,
+                    "pass": ok})
     print(f"{'PASS' if ok else 'FAIL'} {name}: max|Δ|={adiff:.3e} "
           f"(rel {rel:.3e}, tol {tol:.0e}, atol {atol:.0e})")
     return ok
@@ -135,6 +142,9 @@ def main(argv=None) -> int:
                          "shape validation)")
     ap.add_argument("--only", choices=["relevancy", "fused_vit", "roi_pool"],
                     help="run a single check")
+    ap.add_argument("--out", default=None,
+                    help="write a JSON artifact (per-kernel max|Δ| + "
+                         "pass/fail) to this path")
     args = ap.parse_args(argv)
 
     import jax
@@ -166,6 +176,13 @@ def main(argv=None) -> int:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             ok = False
     print("chip_check:", "ALL PASS" if ok else "FAILURES")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"artifact": "chip_check", "platform": platform,
+                       "compiled": not args.interpret,
+                       "small_shapes": bool(args.small),
+                       "checks": RECORDS, "ok": ok}, f, indent=1)
+            f.write("\n")
     return 0 if ok else 1
 
 

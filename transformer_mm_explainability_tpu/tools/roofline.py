@@ -1,0 +1,214 @@
+"""Roofline profile of the flagship ``relevancy_fused`` path.
+
+VERDICT r02 asked for evidence, not assertion, of what bounds the
+fp32-vs-bf16 throughput gap: this tool measures the achieved
+end-to-end rate at several batch sizes and dtypes, times the forward
+subprogram alone, converts an analytic FLOP/byte model of the fused
+program into achieved TF/s and GB/s, and (when supported by the
+backend) records a ``jax.profiler`` trace. Output: one JSON artifact
+(``--out docs/ROOFLINE_rNN.json``) plus a printed summary table.
+
+v5e peaks used for the ceilings: 197 TF/s bf16 / 98.5 TF/s fp32
+(MXU), 819 GB/s HBM (public TPU v5e spec — the scaling-book numbers).
+
+Run (real chip):
+    python -m transformer_mm_explainability_tpu.tools.roofline \
+        --out docs/ROOFLINE_r03.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Dict, List
+
+import numpy as np
+
+V5E_PEAK_TFLOPS = {"bf16": 197.0, "fp32": 98.5}
+V5E_HBM_GBS = 819.0
+
+
+# ---------------------------------------------------------------------------
+# analytic FLOP / HBM-byte model (per map) for relevancy_fused
+# ---------------------------------------------------------------------------
+
+def flops_per_map(cfg) -> Dict[str, float]:
+    """2*m*n*k per matmul; attention scored per head. Approximations:
+    elementwise/LN/softmax VPU flops excluded (they are byte-bound and
+    appear in the byte model instead)."""
+    S, D, L = cfg.seq_len, cfg.width, cfg.depth
+    I = cfg.width * cfg.mlp_ratio
+    qkv = 2 * S * D * 3 * D
+    attn = 2 * (2 * S * S * D)          # QK^T + PV (over all heads)
+    proj = 2 * S * D * D
+    mlp = 2 * S * D * I * 2
+    fwd = qkv + attn + proj + mlp
+    # backward: MLP 2 matmuls of the fwd's 2 (d_g, d_h2) + dW skipped
+    # (no weight grads), attention recompute (qkv + scores) + dqkv
+    # (~2x fwd attn) + d_merged + d_h1
+    bwd = (2 * S * D * I * 2            # d_g, d_h2
+           + qkv                        # qkv recompute
+           + 3 * attn                   # flash bwd: recompute + dQKV
+           + proj                       # d_merged
+           + qkv)                       # d_h1
+    fold = 2 * S * S + 2 * S * S        # e_hat row fold per head-mean
+    return {"fwd": float(L * fwd), "bwd": float(L * (bwd + fold)),
+            "total": float(L * (fwd + bwd + fold))}
+
+
+def bytes_per_map(cfg, batch: int, dtype_bytes: int) -> Dict[str, float]:
+    """HBM traffic model: weights stream once per layer per BATCH
+    (amortised /batch per map); the tape (x_in, x_mid, a1) is written
+    on fwd and read on bwd; scan carries re-read x per layer."""
+    S, D, L = cfg.seq_len, cfg.width, cfg.depth
+    I = cfg.width * cfg.mlp_ratio
+    w_layer = (3 * D * D + D * D + 2 * D * I + 4 * D + D + I)
+    weights = L * w_layer * dtype_bytes * 2 / batch   # fwd + bwd pass
+    tape = L * (2 * S * D + S * I) * dtype_bytes * 2  # write + read
+    act = L * (6 * S * D) * dtype_bytes               # carries/residuals
+    fold = L * (S * S * 4)                            # e_row fp32 in VMEM→0;
+    return {"weights": weights, "tape": tape, "act": act,
+            "total": weights + tape + act + fold * 0.0}
+
+
+# ---------------------------------------------------------------------------
+# measurement
+# ---------------------------------------------------------------------------
+
+def _sustained(fn, args, iters=12, depth=3) -> float:
+    outs: List = []
+    fn(*args).block_until_ready()
+    out = fn(*args)
+    float(np.asarray(out).sum())  # force tunnel readback
+    t0 = time.perf_counter()
+    for i in range(iters):
+        outs.append(fn(*args))
+        if len(outs) > depth:
+            float(np.asarray(outs.pop(0)).sum())
+    for o in outs:
+        float(np.asarray(o).sum())
+    return (time.perf_counter() - t0) / iters
+
+
+def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print):
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.models import vit
+    from transformer_mm_explainability_tpu.utils import tpu as tpu_util
+
+    tpu_util.setup_compilation_cache()
+    cfg = vit.VIT_B_16
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    fl = flops_per_map(cfg)
+
+    rows = []
+    for B in batches:
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
+        targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
+        fused = jax.jit(lambda p, im, tg: vit.relevancy_fused(
+            p, im, tg, cfg, interpret=not on_tpu))
+
+        # forward-subprogram-only timer (same capture fwd, no bwd):
+        def fwd_only(p, im, tg):
+            return vit.relevancy_fused_forward_probe(p, im, cfg,
+                                                     interpret=not on_tpu)
+
+        fwd_jit = jax.jit(fwd_only)
+
+        for dtype in ("fp32", "bf16"):
+            if dtype == "bf16":
+                p_, im_ = (jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16), params),
+                    images.astype(jnp.bfloat16))
+                dbytes = 2
+            else:
+                p_, im_ = params, images
+                dbytes = 4
+            try:
+                dt = _sustained(fused, (p_, im_, targets))
+                dt_fwd = _sustained(fwd_jit, (p_, im_, targets))
+            except Exception as e:  # OOM at large B etc.
+                rows.append({"batch": B, "dtype": dtype,
+                             "error": repr(e)[:200]})
+                continue
+            by = bytes_per_map(cfg, B, dbytes)
+            rate = B / dt
+            row = {
+                "batch": B, "dtype": dtype,
+                "maps_per_s": round(rate, 1),
+                "ms_per_batch": round(dt * 1e3, 2),
+                "ms_per_batch_fwd_only": round(dt_fwd * 1e3, 2),
+                "bwd_fraction": round(1 - dt_fwd / dt, 3),
+                "model_gflops_per_map": round(fl["total"] / 1e9, 2),
+                "achieved_tflops": round(rate * fl["total"] / 1e12, 1),
+                "mxu_peak_fraction": round(
+                    rate * fl["total"] / 1e12 / V5E_PEAK_TFLOPS[dtype], 3),
+                "model_mb_per_map": round(by["total"] / 1e6, 1),
+                "achieved_gbs": round(rate * by["total"] / 1e9, 1),
+                "hbm_peak_fraction": round(
+                    rate * by["total"] / 1e9 / V5E_HBM_GBS, 3),
+            }
+            rows.append(row)
+            printer(f"B={B:4d} {dtype}: {row['maps_per_s']:7.1f} maps/s  "
+                    f"{row['achieved_tflops']:5.1f} TF/s "
+                    f"({row['mxu_peak_fraction']:.0%} MXU)  "
+                    f"{row['achieved_gbs']:5.0f} GB/s "
+                    f"({row['hbm_peak_fraction']:.0%} HBM)  "
+                    f"bwd={row['bwd_fraction']:.0%}")
+
+    trace_ok = None
+    if trace_dir and on_tpu:
+        try:
+            B = batches[0]
+            rng = np.random.RandomState(0)
+            images = jnp.asarray(
+                rng.randn(B, 224, 224, 3).astype(np.float32))
+            targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
+            fused = jax.jit(lambda p, im, tg: vit.relevancy_fused(
+                p, im, tg, cfg, interpret=False))
+            float(np.asarray(fused(params, images, targets)).sum())
+            with jax.profiler.trace(trace_dir):
+                for _ in range(4):
+                    float(np.asarray(
+                        fused(params, images, targets)).sum())
+            trace_ok = trace_dir
+        except Exception as e:
+            trace_ok = f"unsupported: {e!r}"[:200]
+
+    result = {
+        "artifact": "roofline",
+        "device": str(dev),
+        "backend": dev.platform,
+        "model": "vit_b16 relevancy_fused",
+        "peaks": {"tflops": V5E_PEAK_TFLOPS, "hbm_gbs": V5E_HBM_GBS},
+        "flops_model": {k: round(v / 1e9, 2) for k, v in fl.items()},
+        "rows": rows,
+        "trace": trace_ok,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    return result
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--out", default=None)
+    p.add_argument("--batches", default="56,112")
+    p.add_argument("--trace-dir", default=None)
+    args = p.parse_args(argv)
+    run(out_path=args.out,
+        batches=tuple(int(b) for b in args.batches.split(",")),
+        trace_dir=args.trace_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
