@@ -119,10 +119,24 @@ def _lx_batch():
 
 
 def test_lxmert_methods_pairwise_distinct():
+    # ablation_no_aggregation is excluded from the real-capture loop:
+    # the no-agg overwrite (ExplanationGenerator.py:215-365) replaces
+    # R ← E·R instead of R ← R + E·R, so the final map is a PRODUCT of
+    # per-layer (∇A⊙A)⁺ matrices with no identity accumulation. On
+    # random untrained weights those matrices are ~1e-10 in magnitude
+    # and the product underflows fp32 to exact zero (verified: zero for
+    # every x_layers in 1..5 on this seed) — a test artifact, not a
+    # code bug. The reference's real config (5 x-layers, trained
+    # weights, O(0.1) cams) is non-degenerate; the method's
+    # distinctness is pinned at strategy level over O(1) synthetic taps
+    # in test_lxmert_ours_family_strategy_distinct below, mirroring the
+    # DETR treatment of the same degeneracy.
     params = jlx.init_params(jax.random.PRNGKey(1), LX_CFG)
     batch = _lx_batch()
     text_maps, image_maps = {}, {}
     for method in pert_runner.LXMERT_METHODS:
+        if method == "ablation_no_aggregation":
+            continue
         runner = pert_runner.LxmertPerturbationRunner(
             params, LX_CFG, method)
         _, cam_text, cam_image = runner.explain_batched(batch)
@@ -135,6 +149,74 @@ def test_lxmert_methods_pairwise_distinct():
         [np.asarray(text_maps[m]).ravel(), np.asarray(image_maps[m]).ravel()])
         for m in text_maps}
     _assert_all_pairs_differ(joint)
+
+
+def _lx_taps(seed, Ll=3, Lr=2, Lx=3, B=2, H=4, St=8, Sv=5, positive=True):
+    from transformer_mm_explainability_tpu.models.lxmert import LxmertTaps
+
+    rng = np.random.RandomState(seed)
+    if positive:
+        mk = lambda *sh: jnp.asarray(np.abs(rng.randn(*sh)).astype(np.float32))
+    else:
+        mk = lambda *sh: jnp.asarray(rng.randn(*sh).astype(np.float32))
+    return LxmertTaps(
+        lang=mk(Ll, B, H, St, St), visn=mk(Lr, B, H, Sv, Sv),
+        x_lang_cross=mk(Lx, B, H, St, Sv), x_visn_cross=mk(Lx, B, H, Sv, St),
+        x_lang_self=mk(Lx, B, H, St, St), x_visn_self=mk(Lx, B, H, Sv, Sv))
+
+
+def test_lxmert_ours_family_strategy_distinct():
+    """The 5 'ours'-family variants differ pairwise at the strategy
+    level over fixed O(1) positive synthetic taps (no fp32 underflow,
+    odd x-layer count so no structural no-agg zero — see
+    test_lxmert_no_agg_even_xlayers_structurally_zero)."""
+    from transformer_mm_explainability_tpu.explain import lxmert as elx
+
+    attn = _lx_taps(seed=7, positive=True)
+    grads = _lx_taps(seed=8, positive=False)
+    cams = _lx_taps(seed=9, positive=True)
+
+    def joint(tt_ti):
+        tt, ti = tt_ti
+        return np.concatenate([np.asarray(tt).ravel(),
+                               np.asarray(ti).ravel()])
+
+    maps = {
+        "ours_no_lrp": joint(elx.generate_ours(attn, grads)),
+        "ours_no_lrp_no_norm": joint(elx.generate_ours(
+            attn, grads, normalize_self_attention=False)),
+        "ablation_no_self_in_10": joint(elx.generate_ours(
+            attn, grads, apply_self_in_rule_10=False)),
+        "ablation_no_aggregation": joint(elx.generate_ours_no_agg(
+            attn, grads, normalize_self_attention=False)),
+        "ours_with_lrp": joint(elx.generate_ours_lrp(cams, grads)),
+    }
+    _assert_nonzero(maps)
+    _assert_all_pairs_differ(maps)
+
+
+def test_lxmert_no_agg_even_xlayers_structurally_zero():
+    """Pin the reference-faithful structural degeneracy of the no-agg
+    ablation: the overwrite alternation (R_t_t/R_i_i zeroed on
+    even-indexed x-layers, R_t_i/R_i_t on odd ones —
+    ExplanationGenerator.py:330-352) makes the final R_t_i EXACTLY zero
+    for any even x-layer count, independent of weights, and nonzero for
+    odd counts (the reference ships 5)."""
+    from transformer_mm_explainability_tpu.explain import lxmert as elx
+
+    for Lx, expect_zero in ((2, True), (4, True), (3, False), (5, False)):
+        attn = _lx_taps(seed=11, Lx=Lx, positive=True)
+        grads = _lx_taps(seed=12, Lx=Lx, positive=False)
+        _, ti = elx.generate_ours_no_agg(
+            attn, grads, normalize_self_attention=False)
+        total = float(np.abs(np.asarray(ti)).sum())
+        if expect_zero:
+            assert total == 0.0, (
+                f"x_layers={Lx} (even): expected the structural zero, "
+                f"got |R_t_i|={total:.3e}")
+        else:
+            assert total > 1e-6, (
+                f"x_layers={Lx} (odd): R_t_i unexpectedly zero")
 
 
 # --------------------------------------------------------------------------
