@@ -316,6 +316,63 @@ def test_detr_ablation_semantics_pinned():
 
 
 # --------------------------------------------------------------------------
+# CLIP: the interpret() start_layer surface (notebook cell 5-6 /
+# CLIP/example.py:8-48)
+# --------------------------------------------------------------------------
+
+def test_clip_start_layer_surface_distinct():
+    """start_layer=-1 (last-layer-only default) must differ from
+    start_layer=0 (full chain) on BOTH modalities, and the image/text
+    relevancies must each be nonzero — pins that the start_layer
+    arguments are actually routed into the two towers' relevancy scans
+    rather than accepted and ignored."""
+    from transformer_mm_explainability_tpu.explain import clip as eclip
+    from transformer_mm_explainability_tpu.models import clip as mclip
+
+    cfg = mclip.CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=3,
+        vision_width=64, vision_patch_size=16, context_length=12,
+        vocab_size=60, transformer_width=64, transformer_heads=2,
+        transformer_layers=3)
+    params = mclip.init_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.RandomState(5)
+    image = jnp.asarray(rng.randn(32, 32, 3).astype(np.float32))
+    tokens = np.zeros((2, 12), np.int32)
+    for b, n in enumerate((5, 8)):  # 2 texts of different lengths
+        tokens[b, 0] = 1
+        tokens[b, 1:n] = rng.randint(2, 58, n - 1)
+        tokens[b, n] = 59  # EOT = argmax token id (model.py:356)
+    tokens = jnp.asarray(tokens)
+
+    variants = {}
+    for name, sl, slt in (("default_last_layer", -1, -1),
+                          ("full_chain", 0, 0),
+                          ("img_full_text_last", 0, -1)):
+        R_txt, R_img, logits = eclip.interpret(
+            params, image, tokens, cfg,
+            start_layer=sl, start_layer_text=slt)
+        variants[name] = (np.asarray(R_txt), np.asarray(R_img))
+
+    # both modalities nonzero on every variant
+    _assert_nonzero({f"{n}:text": v[0] for n, v in variants.items()})
+    _assert_nonzero({f"{n}:image": v[1] for n, v in variants.items()})
+
+    # start_layer routing observable per modality:
+    d, f, m = (variants["default_last_layer"], variants["full_chain"],
+               variants["img_full_text_last"])
+    _assert_all_pairs_differ({"default:text": d[0], "full:text": f[0]})
+    _assert_all_pairs_differ({"default:image": d[1], "full:image": f[1]})
+    # mixed variant: image side follows start_layer, text follows
+    # start_layer_text
+    np.testing.assert_allclose(m[1], f[1], rtol=1e-6)
+    np.testing.assert_allclose(m[0], d[0], rtol=1e-6)
+
+    # per-text relevancies differ (text b sees its own gradient stack)
+    _assert_all_pairs_differ({"text0": d[0][0], "text1": d[0][1]})
+    _assert_all_pairs_differ({"img0": d[1][0], "img1": d[1][1]})
+
+
+# --------------------------------------------------------------------------
 # ViT: the 4 single-stream methods
 # --------------------------------------------------------------------------
 

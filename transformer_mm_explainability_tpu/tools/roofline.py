@@ -186,6 +186,13 @@ def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print):
         "device": str(dev),
         "backend": dev.platform,
         "model": "vit_b16 relevancy_fused",
+        # the bf16 rows measure EXACTLY bench.py's shipped bf16 mode:
+        # params+images cast to bf16 (HBM traffic + MXU operand
+        # precision), while the Pallas kernels upcast to fp32 in VMEM
+        # for softmax and relevancy accumulation
+        # (ops/flash_attention.py:81-115) — same cast, same program.
+        "bf16_mode": "bf16 weights/activations in HBM; fp32 softmax + "
+                     "relevancy accumulation in VMEM (bench.py parity)",
         "peaks": {"tflops": V5E_PEAK_TFLOPS, "hbm_gbs": V5E_HBM_GBS},
         "flops_model": {k: round(v / 1e9, 2) for k, v in fl.items()},
         "rows": rows,

@@ -48,6 +48,20 @@ FIXTURE_DIR = os.path.join(
     "data", "assets", "parity")
 
 
+def _map_delta(our, ref):
+    """(max|Δ|, scaled max|Δ|, ok) — the tolerance is scale-aware:
+    un-normalised maps like VisualBERT's rollout (identity-add bmm
+    chain, no row normalisation — ExplanationGenerator.py:11-13) grow
+    to O(2^L) magnitude, where fp32 round-off alone exceeds an absolute
+    1e-4. Scaling by max(1, max|ref|) keeps the <1e-4 claim absolute
+    for O(1) maps and relative beyond."""
+    our = np.asarray(our)
+    ref = np.asarray(ref)
+    d = float(np.abs(our - ref).max())
+    scaled = d / max(1.0, float(np.abs(ref).max()))
+    return d, scaled, scaled < TOL
+
+
 # ---------------------------------------------------------------------------
 # deterministic manifest-shaped random weights
 # ---------------------------------------------------------------------------
@@ -337,6 +351,7 @@ def _visual_bert_inputs():
 
 
 def _visual_bert_ours(sd):
+    import jax
     import jax.numpy as jnp
 
     from transformer_mm_explainability_tpu.explain import (
@@ -352,9 +367,23 @@ def _visual_bert_ours(sd):
              "visual_embeddings": jnp.asarray(feats)}
     scores, attn, grads = vb.capture(params, batch, None, cfg)
     cls_index = batch["input_mask"].sum(axis=1) - 2
-    cam = evb.generate_ours(attn, grads, cls_index)
-    return {"cls_per_token_score": np.asarray(cam),
-            "scores": np.asarray(scores)}
+    # LRP cams for the relprop-based baselines (same extraction as
+    # harness/pert_runner._VB_NEEDS_LRP)
+    out = vb.forward(params, batch["input_ids"], batch["input_mask"],
+                     batch["visual_embeddings"], cfg=cfg, return_tape=True)
+    one_hot = jax.nn.one_hot(jnp.argmax(scores, axis=-1), cfg.num_labels)
+    _, cams = vb.relprop(params, out["tape"], one_hot, cfg)
+    maps = {
+        "cls_per_token_score": evb.generate_ours(attn, grads, cls_index),
+        "transformer_att": evb.generate_transformer_att(cams, grads,
+                                                        cls_index),
+        "partial_lrp": evb.generate_partial_lrp(cams, cls_index),
+        "raw_attn": evb.generate_raw_attn(attn, cls_index),
+        "rollout": evb.generate_rollout(attn, cls_index),
+        "attn_gradcam": evb.generate_attn_gradcam(attn, grads, cls_index),
+        "scores": scores,
+    }
+    return {k: np.asarray(v) for k, v in maps.items()}
 
 
 def _visual_bert_reference(sd, reference):
@@ -437,33 +466,93 @@ def _visual_bert_reference(sd, reference):
     seq = out[0] if isinstance(out, (tuple, list)) else out.last_hidden_state
 
     cls_index = int(mask.sum()) - 2
-    pooled = seq[:, cls_index]
-    # BertPredictionHeadTransform: dense → gelu → LayerNorm
-    # (BERT_ours.py:517-529), then the final Linear
-    h = pooled @ sd["model.classifier.0.dense.weight"].T + sd[
-        "model.classifier.0.dense.bias"]
-    h = torch.nn.functional.gelu(h)
-    h = torch.nn.functional.layer_norm(
-        h, (768,), sd["model.classifier.0.LayerNorm.weight"],
-        sd["model.classifier.0.LayerNorm.bias"], eps=1e-12)
-    scores = h @ sd["model.classifier.1.weight"].T + sd[
-        "model.classifier.1.bias"]
+    # head assembled from the reference's OWN relprop-instrumented
+    # modules (visual_bert.py:323-326 classifier = Sequential(
+    # BertPredictionHeadTransform, Linear); :393 vqa_pooler=IndexSelect)
+    # so the relprop chain (:398-406) runs verbatim
+    lo = sys.modules["ref_vb_backends.layers_ours"]
+    pooler = lo.IndexSelect()
+    transform = BERT_ours.BertPredictionHeadTransform(Cfg())
+    final = lo.Linear(768, 3129)
+    with torch.no_grad():
+        transform.dense.weight.copy_(sd["model.classifier.0.dense.weight"])
+        transform.dense.bias.copy_(sd["model.classifier.0.dense.bias"])
+        transform.LayerNorm.weight.copy_(
+            sd["model.classifier.0.LayerNorm.weight"])
+        transform.LayerNorm.bias.copy_(sd["model.classifier.0.LayerNorm.bias"])
+        final.weight.copy_(sd["model.classifier.1.weight"])
+        final.bias.copy_(sd["model.classifier.1.bias"])
+    pooled = pooler(seq, 1, torch.tensor([cls_index]))   # [1, 1, D]
+    scores = final(transform(pooled)).view(-1, 3129)
 
     one_hot = torch.zeros_like(scores)
     one_hot[0, scores.argmax()] = 1
     (one_hot * scores).sum().backward(retain_graph=True)
 
-    # SelfAttentionGenerator.generate_ours (:68-107)
-    S = St + Nv
-    R = torch.eye(S)
-    for layer in enc.layer:
+    def taps(layer):
         cam = layer.attention.self.get_attn()[0]
         grad = layer.attention.self.get_attn_gradients()[0]
+        return cam, grad
+
+    def cls_row(M):
+        row = M[cls_index].clone()
+        row[cls_index] = 0
+        return row.detach().numpy()[None]
+
+    S = St + Nv
+    eye = torch.eye(S)
+
+    # SelfAttentionGenerator.generate_ours (:68-107)
+    R = torch.eye(S)
+    for layer in enc.layer:
+        cam, grad = taps(layer)
         e = (grad * cam).clamp(min=0).mean(0)
         R = R + e @ R
-    row = R[cls_index].clone()
-    row[cls_index] = 0
-    return {"cls_per_token_score": row.detach().numpy()[None],
+
+    # generate_raw_attn (:155-166): last layer head-mean
+    raw = enc.layer[-1].attention.self.get_attn()[0].mean(0)
+
+    # generate_rollout (:168-184): VB's compute_rollout_attention has
+    # the row normalisation COMMENTED OUT (ExplanationGenerator.py:11-13)
+    # — identity-add + plain bmm chain, start_layer=0
+    roll = enc.layer[0].attention.self.get_attn()[0].mean(0) + eye
+    for layer in enc.layer[1:]:
+        roll = (layer.attention.self.get_attn()[0].mean(0) + eye) @ roll
+
+    # generate_attn_gradcam (:186-214): per-head scalar grad weight,
+    # clamp, head-mean, min-max
+    cam_g, grad_g = taps(enc.layer[-1])
+    gc = (cam_g * grad_g.mean(dim=[1, 2], keepdim=True)).mean(0).clamp(min=0)
+    gc = (gc - gc.min()) / (gc.max() - gc.min())
+
+    # relprop for the LRP-based baselines: classifier (reversed) →
+    # vqa_pooler → bert encoder (visual_bert.py:398-406, alpha=1)
+    kwargs = {"alpha": 1}
+    cam_r = final.relprop(one_hot, **kwargs)
+    cam_r = transform.relprop(cam_r, **kwargs)
+    cam_r = pooler.relprop(cam_r, **kwargs)
+    enc.relprop(cam_r, **kwargs)
+
+    # generate_transformer_att (:24-66): rollout (identity-add, no row
+    # norm) over clamp(grad ⊙ attn_cam)+ head-means, start_layer=0
+    ta = None
+    for layer in enc.layer:
+        grad = layer.attention.self.get_attn_gradients()[0]
+        camL = layer.attention.self.get_attn_cam()[0]
+        e = (grad * camL).clamp(min=0).mean(0) + eye
+        ta = e if ta is None else e @ ta
+
+    # generate_partial_lrp (:109-131): last-layer attn_cam head-mean
+    # (NO clamp), min-max normalised
+    pl = enc.layer[-1].attention.self.get_attn_cam()[0].mean(0)
+    pl = (pl - pl.min()) / (pl.max() - pl.min())
+
+    return {"cls_per_token_score": cls_row(R),
+            "transformer_att": cls_row(ta),
+            "partial_lrp": cls_row(pl),
+            "raw_attn": cls_row(raw),
+            "rollout": cls_row(roll),
+            "attn_gradcam": cls_row(gc),
             "scores": scores.detach().numpy()}
 
 
@@ -495,10 +584,12 @@ def _lxmert_inputs():
 
 
 def _lxmert_ours(sd):
+    import jax
     import jax.numpy as jnp
 
     from transformer_mm_explainability_tpu.explain import lxmert as elx
     from transformer_mm_explainability_tpu.models import lxmert as jlx
+    from transformer_mm_explainability_tpu.models import lxmert_lrp
     from transformer_mm_explainability_tpu.utils import convert
 
     cfg = jlx.LXMERT_VQA
@@ -511,8 +602,30 @@ def _lxmert_ours(sd):
     scores, attn, grads = jlx.capture(params, batch, None, cfg)
     tt, ti = elx.generate_ours(attn, grads,
                                text_valid=batch["attention_mask"])
-    return {"R_t_t": np.asarray(tt), "R_t_i": np.asarray(ti),
-            "scores": np.asarray(scores)}
+    # relprop cams for the LRP-based baselines (same extraction as
+    # harness/pert_runner._LX_NEEDS_LRP)
+    out = jlx.forward(params, batch["input_ids"],
+                      batch["attention_mask"], batch["visual_feats"],
+                      batch["visual_pos"], cfg=cfg, return_tape=True)
+    one_hot = jax.nn.one_hot(jnp.argmax(scores, axis=-1),
+                             cfg.num_qa_labels)
+    _, _, cams = lxmert_lrp.relprop(
+        params, out["tape"], one_hot, out["tape"]["lang_mask"],
+        out["tape"]["visn_mask"], cfg)
+    pairs = {
+        "": (tt, ti),
+        "transformer_att": elx.generate_transformer_att(cams, grads),
+        "partial_lrp": elx.generate_partial_lrp(cams),
+        "raw_attn": elx.generate_raw_attn(attn),
+        "rollout": elx.generate_rollout(attn),
+        "attn_gradcam": elx.generate_attn_gradcam(attn, grads),
+    }
+    maps = {"scores": np.asarray(scores)}
+    for name, (a, b) in pairs.items():
+        p = name + "_" if name else ""
+        maps[f"{p}R_t_t"] = np.asarray(a)
+        maps[f"{p}R_t_i"] = np.asarray(b)
+    return maps
 
 
 def _load_ref_lxmert(reference):
@@ -589,9 +702,24 @@ def _lxmert_reference(sd, reference):
     # gradients), which requires grad-enabled tensors
     scores = Usage.forward(None).question_answering_score.detach()
     R_t_t, R_t_i = gen.generate_ours(None, index=None, use_lrp=False)
-    return {"R_t_t": R_t_t.detach().numpy()[None],
-            "R_t_i": R_t_i.detach().numpy()[None],
-            "scores": scores.detach().numpy()}
+    maps = {"R_t_t": R_t_t, "R_t_i": R_t_i}
+    # the reference's OWN GeneratorBaselines surface
+    # (ExplanationGenerator.py:368-667) — each method re-runs forward
+    # (and relprop where LRP-based) through the same Usage adapter
+    base = gen_mod.GeneratorBaselines(Usage)
+    maps["transformer_att_R_t_t"], maps["transformer_att_R_t_i"] = (
+        base.generate_transformer_attr(None, index=None))
+    maps["partial_lrp_R_t_t"], maps["partial_lrp_R_t_i"] = (
+        base.generate_partial_lrp(None, index=None))
+    maps["raw_attn_R_t_t"], maps["raw_attn_R_t_i"] = (
+        base.generate_raw_attn(None))
+    maps["attn_gradcam_R_t_t"], maps["attn_gradcam_R_t_i"] = (
+        base.generate_attn_gradcam(None, index=None))
+    maps["rollout_R_t_t"], maps["rollout_R_t_i"] = (
+        base.generate_rollout(None))
+    out = {k: v.detach().numpy()[None] for k, v in maps.items()}
+    out["scores"] = scores.detach().numpy()
+    return out
 
 
 def _detr_manifest(_reference=None):
@@ -820,10 +948,10 @@ def generate_fixture(family: str, reference: str, seed: int = 0,
     our_maps = ours_fn(sd)
     report = {}
     for k, v in ref_maps.items():
-        d = float(np.abs(np.asarray(our_maps[k]) - np.asarray(v)).max())
-        report[k] = d
-        status = "OK" if d < TOL else "FAIL"
-        printer(f"[{family}] {k}: max|Δ| = {d:.2e}  [{status}]")
+        d, scaled, good = _map_delta(our_maps[k], v)
+        report[k] = scaled
+        printer(f"[{family}] {k}: max|Δ| = {d:.2e} (scaled {scaled:.2e})"
+                f"  [{'OK' if good else 'FAIL'}]")
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     payload = {f"map_{k}": np.asarray(v) for k, v in ref_maps.items()}
     payload["manifest_json"] = np.frombuffer(
@@ -858,12 +986,12 @@ def verify_fixture(family: str, printer=print) -> Dict:
         if not k.startswith("map_"):
             continue
         name = k[4:]
-        d = float(np.abs(np.asarray(our_maps[name]) - z[k]).max())
-        report[name] = d
-        good = d < TOL
+        d, scaled, good = _map_delta(our_maps[name], z[k])
+        report[name] = scaled
         ok &= good
         printer(f"[{family}] {name}: max|Δ| vs reference fixture = "
-                f"{d:.2e}  [{'OK' if good else 'FAIL'}]")
+                f"{d:.2e} (scaled {scaled:.2e})  "
+                f"[{'OK' if good else 'FAIL'}]")
     report["ok"] = ok
     return report
 
@@ -891,13 +1019,12 @@ def verify_weights(family: str, weights: str, reference: Optional[str],
         ref_maps = ref_fn(sd, reference)
         ok = True
         for k, v in ref_maps.items():
-            d = float(np.abs(np.asarray(our_maps[k])
-                             - np.asarray(v)).max())
-            report[k] = d
-            good = d < TOL
+            d, scaled, good = _map_delta(our_maps[k], v)
+            report[k] = scaled
             ok &= good
             printer(f"[{family}] {k}: max|Δ| vs in-process reference = "
-                    f"{d:.2e}  [{'OK' if good else 'FAIL'}]")
+                    f"{d:.2e} (scaled {scaled:.2e})  "
+                    f"[{'OK' if good else 'FAIL'}]")
         report["ok"] = ok
     else:
         for k, v in our_maps.items():
