@@ -42,6 +42,22 @@ def _now() -> float:
     return time.perf_counter()
 
 
+def _memory_stats() -> Optional[Dict]:
+    """Device memory high-water mark, when the backend exposes it
+    (CPU and some tunneled backends return None)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    keep = ("bytes_in_use", "peak_bytes_in_use", "bytes_limit",
+            "largest_alloc_size")
+    return {k: int(stats[k]) for k in keep if k in stats}
+
+
 # ---------------------------------------------------------------------------
 # 1. VisualBERT perturbation at protocol scale
 # ---------------------------------------------------------------------------
@@ -142,6 +158,7 @@ def rehearse_visualbert(
                 f"{wall:.1f}s ({entry['ms_per_sample_steady']} ms/sample "
                 f"steady, compile {compile_s:.1f}s)")
     result["wall_s_total"] = round(_now() - t_total0, 2)
+    result["memory"] = _memory_stats()
     return result
 
 
@@ -263,6 +280,7 @@ def rehearse_lxmert(
         "ms_per_sample_steady": round(steady, 1) if steady else None,
         "step_accuracies": [round(float(a), 6) for a in curve],
         "auc": round(float(pert.auc(np.asarray(curve), steps)), 6),
+        "memory": _memory_stats(),
     }
     if steady:
         result["eta_full_protocol_hours"] = round(
@@ -392,6 +410,7 @@ def rehearse_detr(
         "ms_per_image_steady": round(float(np.median(per_img[5:])), 1)
         if len(per_img) > 5 else None,
         "stats": {k: round(float(v), 5) for k, v in stats.items()},
+        "memory": _memory_stats(),
     }
     printer(f"detr expl-segm: {num_images} images in {wall:.1f}s "
             f"(median {result['ms_per_image_steady']} ms/img steady); "

@@ -832,7 +832,27 @@ def _detr_ours(sd):
         jdetr.zero_taps(cfg, 1, S, jnp.float32))
     per = lambda t: jdetr.DETRTaps(*(x[:, 0] for x in t))
     R_qi = edetr.relevancy_from_capture(per(attn), per(grads))
-    return {"R_q_i": np.asarray(R_qi)[None]}
+
+    # relprop cams for the LRP-based baselines: tape the SAME program
+    # the gradients came from (models/detr_lrp.relprop, alpha=1 — the
+    # reference chain DETR/models/detr.py:79-91 class_embed → decoder)
+    from transformer_mm_explainability_tpu.models import detr_lrp
+    hs, _, _, tape = jdetr.transformer_forward(
+        params, jnp.asarray(src), jnp.asarray(pos), None, cfg,
+        jdetr.zero_taps(cfg, 1, S, jnp.float32), return_tape=True)
+    _, cams = detr_lrp.relprop(params, tape, hs, jnp.asarray(oh)[None],
+                               cfg)
+    tq = jnp.asarray([17])
+    maps = {
+        "R_q_i": np.asarray(R_qi)[None],
+        "transformer_att": edetr.generate_transformer_att(cams, grads,
+                                                          tq),
+        "partial_lrp": edetr.generate_partial_lrp(cams, tq),
+        "raw_attn": edetr.generate_raw_attn(attn, tq),
+        "rollout": edetr.generate_rollout(attn, tq),
+        "attn_gradcam": edetr.generate_attn_gradcam(attn, grads, tq),
+    }
+    return {k: np.asarray(v) for k, v in maps.items()}
 
 
 def _detr_reference(sd, reference):
@@ -876,14 +896,32 @@ def _detr_reference(sd, reference):
     pos_t = torch.tensor(pos).reshape(1, Hf, Wf, 256).permute(0, 3, 1, 2)
     mask = torch.zeros(1, Hf, Wf, dtype=torch.bool)
     query = torch.tensor(np.asarray(sd["query_embed.weight"]))
-    hs, _ = model(src_t, mask, query, pos_t)
-    logits = (hs[-1] @ torch.tensor(
-        np.asarray(sd["class_embed.weight"])).T
-        + torch.tensor(np.asarray(sd["class_embed.bias"])))
+    # head assembled from the reference's OWN relprop-instrumented
+    # modules so the relprop chain (DETR/models/detr.py:79-91:
+    # index_select → class_embed → transformer) runs verbatim
+    lmod = importlib.import_module("DETR.modules.layers")
+    class_embed = lmod.Linear(256, 92)
+    index_select = lmod.IndexSelect()
+    with torch.no_grad():
+        class_embed.weight.copy_(torch.tensor(
+            np.asarray(sd["class_embed.weight"])))
+        class_embed.bias.copy_(torch.tensor(
+            np.asarray(sd["class_embed.bias"])))
+    hs, memory = model(src_t, mask, query, pos_t)
+    outputs_class = class_embed(hs)
+    logits = index_select(outputs_class, 0,
+                          torch.tensor([hs.shape[0] - 1])).squeeze(0)
     one_hot = torch.zeros_like(logits)
     one_hot[0, 17, 5] = 1
     model.zero_grad()
     (one_hot * logits).sum().backward(retain_graph=True)
+
+    # relprop for the LRP-based baselines (detr.py:79-91, alpha=1)
+    cam = torch.zeros_like(index_select.Y)
+    cam[0, 0, 17, 5] = 1
+    cam = index_select.relprop(cam, 1)
+    cam = class_embed.relprop(cam, 1)
+    model.relprop([cam, torch.zeros_like(memory)], 1)
 
     # the reference's OWN rule kernels
     # (DETR/modules/ExplanationGenerator.py:5-53)
@@ -913,7 +951,51 @@ def _detr_reference(sd, reference):
             layer.multihead_attn.get_attn_gradients().detach())
         add = gen_mod.apply_mm_attention_rules(R_q_q, R_i_i, cam)
         R_q_i = R_q_i + add
-    return {"R_q_i": R_q_i.detach().numpy()[None]}
+
+    dec_last = model.decoder.layers[-1]
+    cross_attn = dec_last.multihead_attn.get_attn().detach()
+    cross_grad = dec_last.multihead_attn.get_attn_gradients().detach()
+    cross_cam = dec_last.multihead_attn.get_attn_cam().detach()
+
+    # generate_transformer_att (:64-108): avg_heads of last decoder
+    # cross (LRP cam ⊙ grad), row at target query
+    ta = gen_mod.avg_heads(cross_cam, cross_grad)[17]
+
+    # generate_partial_lrp (:197-224): head-mean of last cross cam,
+    # min-max over the full [Q, S] map, then the target row
+    pl = cross_cam.reshape(-1, *cross_cam.shape[-2:]).mean(0)
+    pl = (pl - pl.min()) / (pl.max() - pl.min())
+    pl = pl[17]
+
+    # generate_raw_attn (:226-238): head-mean of last cross attn
+    raw = cross_attn.reshape(-1, *cross_attn.shape[-2:]).mean(0)[17]
+
+    # generate_rollout (:240-270): normalised rollouts over encoder and
+    # decoder self-attention bridged by the last cross head-mean
+    enc_cams = [l.self_attn.get_attn().detach().mean(0)
+                for l in model.encoder.layers]
+    dec_cams = [l.self_attn.get_attn().detach().mean(0)
+                for l in model.decoder.layers]
+    R_ii = gen_mod.compute_rollout_attention(
+        [c.unsqueeze(0) for c in enc_cams])[0]
+    R_qq = gen_mod.compute_rollout_attention(
+        [c.unsqueeze(0) for c in dec_cams])[0]
+    cross_mean = cross_attn.reshape(-1, *cross_attn.shape[-2:]).mean(0)
+    roll = (R_qq.t() @ (cross_mean @ R_ii))[17]
+
+    # generate_attn_gradcam (:277-305): scalar grad weight per head,
+    # clamp, head-mean
+    g = cross_grad.reshape(-1, *cross_grad.shape[-2:])
+    c = cross_attn.reshape(-1, *cross_attn.shape[-2:])
+    gc = (c * g.mean(dim=[1, 2], keepdim=True)).mean(0).clamp(min=0)[17]
+
+    row = lambda t: t.detach().numpy()[None]
+    return {"R_q_i": R_q_i.detach().numpy()[None],
+            "transformer_att": row(ta),
+            "partial_lrp": row(pl),
+            "raw_attn": row(raw),
+            "rollout": row(roll),
+            "attn_gradcam": row(gc)}
 
 
 FAMILY_IMPL = {
@@ -925,6 +1007,14 @@ FAMILY_IMPL = {
     "detr": (_detr_manifest, _detr_ours, _detr_reference),
 }
 
+# per-family random-weight scale for --generate. lxmert needs 0.05: at
+# 0.02 the 5 cross-modal layers smear attention almost uniform, the
+# last x-layer cam's (max-min) collapses to ~4e-5, and partial_lrp's
+# min-max normalisation amplifies fp32 round-off by 1/range (~25000x)
+# past TOL — a degenerate fixture, not a parity failure. verify reads
+# the scale back from the npz, so old fixtures stay self-describing.
+FAMILY_SCALE = {"lxmert": 0.05}
+
 
 # ---------------------------------------------------------------------------
 # fixture IO + verification
@@ -935,9 +1025,11 @@ def fixture_path(family: str) -> str:
 
 
 def generate_fixture(family: str, reference: str, seed: int = 0,
-                     scale: float = 0.02, printer=print) -> Dict:
+                     scale: Optional[float] = None, printer=print) -> Dict:
     import torch
 
+    if scale is None:
+        scale = FAMILY_SCALE.get(family, 0.02)
     manifest_fn, ours_fn, ref_fn = FAMILY_IMPL[family]
     manifest = manifest_fn(reference)
     sd = random_state_dict(manifest, seed=seed, scale=scale)
@@ -1048,7 +1140,21 @@ def main(argv=None) -> int:
                    help="(re)generate the fixture from the reference")
     p.add_argument("--reference", default="/root/reference",
                    help="reference checkout for --generate / --weights")
+    p.add_argument("--device", default="cpu", choices=("cpu", "default"),
+                   help="parity runs are exact-fp32 CPU by default; "
+                        "'default' keeps the process's JAX backend "
+                        "(e.g. the tunneled TPU, whose grant is "
+                        "exclusive per process)")
     args = p.parse_args(argv)
+
+    if args.device == "cpu":
+        # must happen before any backend initialises: the container's
+        # sitecustomize re-forces the tunneled-TPU platform over the
+        # JAX_PLATFORMS env var, and that chip grant is exclusive —
+        # a parity run would otherwise wedge behind (or steal from)
+        # whatever long-running job holds the chip
+        from transformer_mm_explainability_tpu.utils import tpu as tputil
+        tputil.force_cpu()
 
     fams = FAMILIES if args.family == "all" else (args.family,)
     rc = 0
