@@ -182,10 +182,15 @@ def main():
         # throughput mode: bf16 weights/activations in HBM; the Pallas
         # kernels upcast to fp32 in VMEM for softmax + relevancy
         # accumulation (ops/flash_attention.py:81-115), so only
-        # HBM traffic and MXU operand precision change
+        # HBM traffic and MXU operand precision change. bf16 runs at
+        # its own best batch (2B=112): the halved HBM traffic moves
+        # the throughput knee to a larger batch than fp32's
+        # (docs/ROOFLINE_r04.json — fp32 peaks at 56, bf16 at 112)
+        Bb = 2 * B
+        imb = jnp.concatenate([images, images]).astype(jnp.bfloat16)
+        tgb = jnp.concatenate([targets, targets])
         pb = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-        imb = images.astype(jnp.bfloat16)
-        bf16_trials = [B / _sustained(fused, (pb, imb, targets), iters=16)
+        bf16_trials = [Bb / _sustained(fused, (pb, imb, tgb), iters=16)
                        for _ in range(3)]
         bf16_rate = float(np.median(bf16_trials))
     else:
@@ -210,6 +215,7 @@ def main():
                       round(max(bf16_trials), 1)] if bf16_trials else None),
         },
         "batch": B,
+        "batch_bf16": (2 * B) if on_tpu else None,
         "on_tpu": bool(on_tpu),
     }
     if on_tpu:

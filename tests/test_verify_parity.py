@@ -38,6 +38,32 @@ def test_fixture_verifies(family):
     assert rep["ok"], rep
 
 
+def test_fixture_method_coverage():
+    """The multi-method families must keep pinning the full baseline
+    surface (ours + transformer_att/partial_lrp/raw_attn/rollout/
+    attn_gradcam) — a regenerated fixture that silently drops maps
+    would shrink the <1e-4 claim back to one method per family."""
+    expected = {
+        "visual_bert": {"cls_per_token_score", "transformer_att",
+                        "partial_lrp", "raw_attn", "rollout",
+                        "attn_gradcam", "scores"},
+        "lxmert": ({"R_t_t", "R_t_i", "scores"}
+                   | {f"{m}_{s}" for m in ("transformer_att",
+                                           "partial_lrp", "raw_attn",
+                                           "rollout", "attn_gradcam")
+                      for s in ("R_t_t", "R_t_i")}),
+        "detr": {"R_q_i", "transformer_att", "partial_lrp", "raw_attn",
+                 "rollout", "attn_gradcam"},
+    }
+    for family, want in expected.items():
+        path = vp.fixture_path(family)
+        if not os.path.exists(path):
+            continue  # test_fixtures_checked_in reports this
+        have = {k[4:] for k in np.load(path).files
+                if k.startswith("map_")}
+        assert want <= have, (family, want - have)
+
+
 def test_random_state_dict_deterministic():
     man = {"a.weight": (3, 4), "b.bias": (4,)}
     sd1 = vp.random_state_dict(man, seed=7)
