@@ -15,6 +15,7 @@ import pytest
 
 from transformer_mm_explainability_tpu.core.registry import registry
 from transformer_mm_explainability_tpu.data import builders  # noqa: F401 (registers)
+from transformer_mm_explainability_tpu.data import extra_builders  # noqa: F401 (registers textvqa & the builder-zoo tail; without it this module is import-order dependent)
 from transformer_mm_explainability_tpu.data import databases, processors
 
 VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "what", "color",
