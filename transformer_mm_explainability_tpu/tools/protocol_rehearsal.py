@@ -382,6 +382,9 @@ def rehearse_detr(
         tb = _now()
         out = orig_explain(*a, **kw)
         times.append(_now() - tb)
+        if len(times) % 10 == 0:
+            printer(f"  [{len(times)}/{num_images}] detr images "
+                    f"(median {np.median(times) * 1e3:.0f} ms/img)")
         return out
 
     detr_segm.explain_image = timed_explain
@@ -445,14 +448,26 @@ def main(argv=None) -> int:
     results = {"artifact": "protocol_rehearsal",
                "devices": [str(d) for d in jax.devices()],
                "backend": jax.default_backend()}
+
+    def checkpoint():
+        # write after EVERY protocol: a multi-hour run must not lose
+        # its finished sweeps to a tunnel disconnect in a later phase
+        # (observed once: the chip connection dropped mid-DETR and the
+        # completed VisualBERT+LXMERT curves died with the process)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(json.dumps(results, indent=1) + "\n")
+
     t0 = _now()
     if args.protocol in ("all", "visualbert"):
         results["visualbert"] = rehearse_visualbert(
             num_samples=args.vb_samples, batch_size=args.vb_batch,
             method=args.method)
+        checkpoint()
     if args.protocol in ("all", "lxmert"):
         results["lxmert"] = rehearse_lxmert(
             num_samples=args.lx_samples, method=args.method)
+        checkpoint()
     if args.protocol in ("all", "detr"):
         results["detr"] = rehearse_detr(
             num_images=args.detr_images, method=args.method)
