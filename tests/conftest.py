@@ -57,8 +57,35 @@ def pytest_configure(config):
         "quick tier; run the full suite to include them)")
     config.addinivalue_line(
         "markers",
-        "quick: auto-applied to everything not marked slow — "
-        "`-m quick` is the <3-minute gate tier")
+        "quick: the curated <3-minute gate tier (QUICK_FILES below) — "
+        "the full suite (no -m filter) runs everything")
+
+
+# The <3-minute gate: a CURATED set, chosen from a measured per-file
+# profile of the whole suite on this box (single CPU) — the round-3
+# "everything not slow is quick" rule made the quick tier 919 of 927
+# tests and >10 minutes, i.e. not a gate at all. Selection rule: the
+# cheap pure-python / tiny-shape tests covering every subsystem's core
+# logic (ops + rules, config cascade, registries, datasets/processors,
+# eval-metric math, native ops, schedulers, tokenizers) plus ONE
+# end-to-end model relevancy compile (test_vit) so the gate still
+# exercises capture → chain → map. Everything heavier runs in the full
+# suite; protocol-scale tests additionally carry @slow.
+QUICK_FILES = {
+    "test_aux.py", "test_bench_attempts.py", "test_build.py",
+    "test_caption_metrics.py", "test_coco_eval.py",
+    "test_coco_eval_fuzz.py", "test_configs.py", "test_datasets_mmf.py",
+    "test_detr_transforms.py", "test_env.py", "test_extra_builders.py",
+    "test_gqa_visdial_tools.py", "test_hm_convert.py", "test_infra.py",
+    "test_losses_metrics.py", "test_lrp.py",
+    "test_lxmert_pretrain_data.py", "test_masked_datasets.py",
+    "test_multi_dataset_reporter.py", "test_native.py",
+    "test_nms_fuzz.py", "test_pallas.py", "test_panoptic.py",
+    "test_predict.py", "test_processors_full.py",
+    "test_qa_answer_table.py", "test_rap.py", "test_relevancy.py",
+    "test_resnet.py", "test_schedulers.py", "test_text_utils.py",
+    "test_tokenizer.py", "test_verify_parity.py", "test_vit.py",
+}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -74,7 +101,8 @@ def pytest_collection_modifyitems(config, items):
         MM_TPU_RANDOM_ORDER=3 python -m pytest tests/ -q
     """
     for item in items:
-        if "slow" not in item.keywords:
+        fname = os.path.basename(item.nodeid.split("::")[0])
+        if "slow" not in item.keywords and fname in QUICK_FILES:
             item.add_marker(pytest.mark.quick)
 
     seed_s = os.environ.get("MM_TPU_RANDOM_ORDER")
