@@ -39,3 +39,22 @@ def test_detr_rehearsal_tiny(tmp_path):
     assert out["num_images"] == 2
     assert "AP" in out["stats"]
     assert np.isfinite(out["stats"]["AP"])
+
+
+def test_prior_phases_merge(tmp_path):
+    """Re-running one phase with --out must keep phases recorded by
+    earlier invocations (the all-protocol run spans sessions)."""
+    art = tmp_path / "proto.json"
+    art.write_text(
+        '{"artifact": "protocol_rehearsal", "visualbert": {"auc": 1.0},'
+        ' "wall_s_total": 3.0, "junk": 7}')
+    got = pr._prior_phases(str(art))
+    assert got == {"visualbert": {"auc": 1.0}}  # phases only, no junk
+
+    art.write_text("not json at all")
+    assert pr._prior_phases(str(art)) == {}
+    assert pr._prior_phases(str(tmp_path / "missing.json")) == {}
+
+    # a foreign JSON file must not be mistaken for a prior artifact
+    art.write_text('{"visualbert": {"auc": 9.0}}')
+    assert pr._prior_phases(str(art)) == {}

@@ -425,6 +425,24 @@ def rehearse_detr(
 # CLI
 # ---------------------------------------------------------------------------
 
+def _prior_phases(path: str) -> Dict:
+    """Phases already recorded in an existing artifact at `path`.
+
+    A single phase can be (re)run without clobbering phases recorded by
+    earlier invocations: a multi-hour all-protocol run may span
+    sessions, and each phase's curves are too expensive to lose."""
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if not (isinstance(prior, dict)
+            and prior.get("artifact") == "protocol_rehearsal"):
+        return {}
+    return {k: prior[k] for k in ("visualbert", "lxmert", "detr")
+            if k in prior}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="Protocol-scale rehearsal of the three quantitative "
@@ -448,6 +466,8 @@ def main(argv=None) -> int:
     results = {"artifact": "protocol_rehearsal",
                "devices": [str(d) for d in jax.devices()],
                "backend": jax.default_backend()}
+    if args.out:
+        results.update(_prior_phases(args.out))
 
     def checkpoint():
         # write after EVERY protocol: a multi-hour run must not lose
