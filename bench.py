@@ -98,7 +98,10 @@ def _run_attempts():
                         rec["last_tpu_measurement"] = json.load(f)
                 except (OSError, json.JSONDecodeError):
                     pass
-            elif ran_on_tpu:
+            elif ran_on_tpu and not rec.get("regression"):
+                # do NOT re-baseline on a flagged regression: writing
+                # the regressed median would make the SAME slowdown
+                # read as healthy from the next run onward
                 last = {
                     "fp32_maps_per_sec": rec["value"],
                     "bf16_maps_per_sec": rec.get("bf16_maps_per_sec"),

@@ -120,3 +120,31 @@ def test_all_attempts_failed_still_emits_one_json_line(monkeypatch,
     assert len(lines) == 1
     rec = json.loads(lines[0])
     assert rec["value"] == 0.0 and "error" in rec
+
+
+def test_no_rebaseline_on_flagged_regression(monkeypatch, tmp_path, capsys):
+    """A run flagged `regression: true` must NOT rewrite the sidecar:
+    re-baselining on the regressed median would make the same slowdown
+    read as healthy from the next run onward."""
+    bench = _load_bench()
+    sidecar = tmp_path / "last.json"
+    sidecar.write_text(json.dumps({"fp32_maps_per_sec": 900.0}))
+    monkeypatch.setattr(bench, "_LAST_TPU_PATH", str(sidecar))
+
+    regressed = json.dumps({"metric": "m", "value": 700.0, "unit": "u",
+                            "vs_baseline": 5.6, "on_tpu": True,
+                            "regression": True})
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: _proc(0, regressed + "\n"))
+    assert bench._run_attempts() == 0
+    capsys.readouterr()
+    assert json.loads(sidecar.read_text())["fp32_maps_per_sec"] == 900.0
+
+    healthy = json.dumps({"metric": "m", "value": 910.0, "unit": "u",
+                          "vs_baseline": 7.3, "on_tpu": True,
+                          "regression": False})
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: _proc(0, healthy + "\n"))
+    assert bench._run_attempts() == 0
+    capsys.readouterr()
+    assert json.loads(sidecar.read_text())["fp32_maps_per_sec"] == 910.0

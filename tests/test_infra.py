@@ -198,3 +198,16 @@ def test_report_container():
 
     with pytest.raises(TypeError):
         Report({"batch_size": 1}, "not-a-mapping")
+
+
+def test_quick_files_all_exist():
+    """Every QUICK_FILES entry must name a real test file: a rename or
+    deletion would otherwise silently shrink the curated quick gate
+    (set-membership matching gives zero signal for stale entries)."""
+    import conftest
+
+    tests_dir = os.path.dirname(os.path.abspath(conftest.__file__))
+    missing = sorted(f for f in conftest.QUICK_FILES
+                     if not os.path.exists(os.path.join(tests_dir, f)))
+    assert not missing, (
+        f"stale QUICK_FILES entries (renamed/deleted tests): {missing}")

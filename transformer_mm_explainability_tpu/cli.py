@@ -151,6 +151,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--generate", action="store_true",
                     help="(re)generate the fixture from the in-process "
                          "reference generator")
+    sp.add_argument("--device", default="cpu", choices=("cpu", "default"),
+                    help="'cpu' (default) forces the CPU backend so a "
+                         "parity run cannot wedge behind an exclusive "
+                         "chip grant; 'default' keeps the process "
+                         "backend (TPU when available)")
 
     sp = sub.add_parser(
         "protocol-rehearsal",
@@ -373,7 +378,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.command == "verify-parity":
         from transformer_mm_explainability_tpu.tools import verify_parity
 
-        vp_args = ["--family", args.family, "--reference", args.reference]
+        vp_args = ["--family", args.family, "--reference", args.reference,
+                   "--device", args.device]
         if args.weights:
             vp_args += ["--weights", args.weights]
         if args.generate:

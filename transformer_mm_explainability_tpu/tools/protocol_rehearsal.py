@@ -478,19 +478,24 @@ def main(argv=None) -> int:
             with open(args.out, "w") as f:
                 f.write(json.dumps(results, indent=1) + "\n")
 
+    # per-phase provenance: merged prior phases keep THEIR recorded
+    # backend even when a later phase is re-run on a different one
+    prov = {"backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()]}
+
     t0 = _now()
     if args.protocol in ("all", "visualbert"):
-        results["visualbert"] = rehearse_visualbert(
+        results["visualbert"] = {**rehearse_visualbert(
             num_samples=args.vb_samples, batch_size=args.vb_batch,
-            method=args.method)
+            method=args.method), **prov}
         checkpoint()
     if args.protocol in ("all", "lxmert"):
-        results["lxmert"] = rehearse_lxmert(
-            num_samples=args.lx_samples, method=args.method)
+        results["lxmert"] = {**rehearse_lxmert(
+            num_samples=args.lx_samples, method=args.method), **prov}
         checkpoint()
     if args.protocol in ("all", "detr"):
-        results["detr"] = rehearse_detr(
-            num_images=args.detr_images, method=args.method)
+        results["detr"] = {**rehearse_detr(
+            num_images=args.detr_images, method=args.method), **prov}
     results["wall_s_total"] = round(_now() - t0, 2)
     out = json.dumps(results, indent=1)
     print(out)

@@ -48,16 +48,22 @@ FIXTURE_DIR = os.path.join(
     "data", "assets", "parity")
 
 
-def _map_delta(our, ref):
+def _map_delta(our, ref, name=""):
     """(max|Δ|, scaled max|Δ|, ok) — the tolerance is scale-aware:
     un-normalised maps like VisualBERT's rollout (identity-add bmm
     chain, no row normalisation — ExplanationGenerator.py:11-13) grow
     to O(2^L) magnitude, where fp32 round-off alone exceeds an absolute
     1e-4. Scaling by max(1, max|ref|) keeps the <1e-4 claim absolute
-    for O(1) maps and relative beyond."""
+    for O(1) maps and relative beyond.
+
+    ``scores`` entries (model logits) stay STRICTLY absolute: real
+    checkpoints produce O(10) logits, and a relative band there would
+    let a converter bug ride under the advertised <1e-4 parity."""
     our = np.asarray(our)
     ref = np.asarray(ref)
     d = float(np.abs(our - ref).max())
+    if name == "scores":
+        return d, d, d < TOL
     scaled = d / max(1.0, float(np.abs(ref).max()))
     return d, scaled, scaled < TOL
 
@@ -1040,7 +1046,7 @@ def generate_fixture(family: str, reference: str, seed: int = 0,
     our_maps = ours_fn(sd)
     report = {}
     for k, v in ref_maps.items():
-        d, scaled, good = _map_delta(our_maps[k], v)
+        d, scaled, good = _map_delta(our_maps[k], v, name=k)
         report[k] = scaled
         printer(f"[{family}] {k}: max|Δ| = {d:.2e} (scaled {scaled:.2e})"
                 f"  [{'OK' if good else 'FAIL'}]")
@@ -1078,7 +1084,7 @@ def verify_fixture(family: str, printer=print) -> Dict:
         if not k.startswith("map_"):
             continue
         name = k[4:]
-        d, scaled, good = _map_delta(our_maps[name], z[k])
+        d, scaled, good = _map_delta(our_maps[name], z[k], name=name)
         report[name] = scaled
         ok &= good
         printer(f"[{family}] {name}: max|Δ| vs reference fixture = "
@@ -1111,7 +1117,7 @@ def verify_weights(family: str, weights: str, reference: Optional[str],
         ref_maps = ref_fn(sd, reference)
         ok = True
         for k, v in ref_maps.items():
-            d, scaled, good = _map_delta(our_maps[k], v)
+            d, scaled, good = _map_delta(our_maps[k], v, name=k)
             report[k] = scaled
             ok &= good
             printer(f"[{family}] {k}: max|Δ| vs in-process reference = "
