@@ -49,7 +49,17 @@ def test_prior_phases_merge(tmp_path):
         '{"artifact": "protocol_rehearsal", "visualbert": {"auc": 1.0},'
         ' "wall_s_total": 3.0, "junk": 7}')
     got = pr._prior_phases(str(art))
-    assert got == {"visualbert": {"auc": 1.0}}  # phases only, no junk
+    # phases only, no junk; a pre-provenance phase gets tagged rather
+    # than silently lacking the backend field forever (ADVICE r04)
+    assert got == {"visualbert": {"auc": 1.0, "backend": "unknown",
+                                  "devices": None}}
+
+    # a phase that already carries provenance is passed through verbatim
+    art.write_text(
+        '{"artifact": "protocol_rehearsal",'
+        ' "lxmert": {"auc": 0.5, "backend": "tpu", "devices": ["d0"]}}')
+    got = pr._prior_phases(str(art))
+    assert got["lxmert"]["backend"] == "tpu"
 
     art.write_text("not json at all")
     assert pr._prior_phases(str(art)) == {}
@@ -58,3 +68,32 @@ def test_prior_phases_merge(tmp_path):
     # a foreign JSON file must not be mistaken for a prior artifact
     art.write_text('{"visualbert": {"auc": 9.0}}')
     assert pr._prior_phases(str(art)) == {}
+
+
+def test_wall_s_total_sums_merged_phases():
+    """The artifact's total must sum ALL phases, not just the latest
+    invocation's (PROTOCOL_r04.json shipped total=348 s beside a merged
+    2853 s phase — VERDICT r04 weak #2)."""
+    results = {
+        "visualbert": {"wall_s_total": 2853.27},
+        "lxmert": {"wall_s": 279.02},
+        "detr": {"wall_s": 300.0, "datagen_s": 12.0},
+    }
+    assert pr._wall_s_total(results) == 3444.29
+    assert pr._wall_s_total({"lxmert": {"wall_s": 5.0}}) == 5.0
+    assert pr._wall_s_total({}) == 0.0
+
+
+def test_phase_memory_records_hlo_estimate():
+    """On backends with no allocator stats the phase memory record must
+    still be non-null: XLA buffer-assignment totals per program."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64), jnp.float32)
+    f(x)  # compile
+    rec = pr._phase_memory({"prog": (f, (x,))})
+    assert rec["hlo_programs"]["prog"]["argument_bytes"] == 64 * 64 * 4
+    assert rec["peak_bytes_estimate"] > 0
+    assert rec["hbm_budget_gb"] == 16.0

@@ -83,6 +83,39 @@ def masks_from_relevancy(rel_rows: jnp.ndarray, feat_hw: Tuple[int, int],
     return jax.vmap(one)(rel_rows)
 
 
+@functools.lru_cache(maxsize=None)
+def _forward_jit(cfg: detr_model.DETRConfig):
+    """Jitted single-image detection forward (logits, boxes).
+
+    The harness loop is host-driven (per-image keep decisions), so
+    without an explicit jit every op in the DETR forward dispatches
+    eagerly — hundreds of round-trips per image on a tunneled device.
+    One compiled program per (cfg, image-shape) bucket instead."""
+    def fwd(params, image, pad_valid):
+        batch_valid = None if pad_valid is None else pad_valid[None]
+        out = detr_model.forward(params, image[None], batch_valid, cfg)
+        return out["pred_logits"][0], out["pred_boxes"][0]
+    return jax.jit(fwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _generate_jit(method: str, cfg: detr_model.DETRConfig):
+    """Jitted K-batched relevancy program (explain/detr.generate) —
+    one compiled program per (method, cfg, K-bucket, image shape)."""
+    def gen(params, image, q, c, pad_valid):
+        return expl_detr.generate(method, params, image, q, c, cfg,
+                                  pad_valid)
+    return jax.jit(gen)
+
+
+_masks_jit = jax.jit(masks_from_relevancy, static_argnums=(1, 2))
+
+# (jit_fn, args) of the most recent heaviest relevancy program — lets
+# tools/protocol_rehearsal record a compiled-HLO memory estimate for
+# the DETR phase (the backend's allocator stats are unavailable)
+MEM_PROBE: Dict[str, tuple] = {}
+
+
 def explain_image(
     params,
     image: jnp.ndarray,
@@ -98,8 +131,17 @@ def explain_image(
     ``mesh[sp_axis]`` (parallel/sp.py): at the protocol's 800px the
     encoder taps are [6, K, 8, S≈1900, S] — row-sharding them is the
     memory headroom for larger K per pass."""
-    batch_valid = None if pad_valid is None else pad_valid[None]
-    out = detr_model.forward(params, image[None], batch_valid, cfg)
+    if mesh is None:
+        fwd_j = _forward_jit(cfg)
+        MEM_PROBE["detr_forward"] = (fwd_j, (params, image, pad_valid))
+        logits_d, boxes_d = fwd_j(params, image, pad_valid)
+        out = {"pred_logits": logits_d[None], "pred_boxes": boxes_d[None]}
+        stride = 16 if cfg.dilation else 32
+        out["feat_hw"] = (image.shape[0] // stride,
+                          image.shape[1] // stride)
+    else:
+        batch_valid = None if pad_valid is None else pad_valid[None]
+        out = detr_model.forward(params, image[None], batch_valid, cfg)
     logits = np.asarray(out["pred_logits"][0])
     q, c, valid = keep_detections(
         logits, segm_cfg.confidence_threshold, segm_cfg.max_detections)
@@ -121,10 +163,23 @@ def explain_image(
         # a whole extra all-padding pass)
         k_pad = n_kept
     q, c, valid = q[:k_pad], c[:k_pad], valid[:k_pad]
+
+    if mesh is None:
+        gen_j = _generate_jit(segm_cfg.method, cfg)
+        def _gen(qs, cs):
+            args = (params, image, jnp.asarray(qs), jnp.asarray(cs),
+                    pad_valid)
+            MEM_PROBE["detr_generate"] = (gen_j, args)
+            return gen_j(*args)
+    else:
+        def _gen(qs, cs):
+            return expl_detr.generate(
+                segm_cfg.method, params, image, jnp.asarray(qs),
+                jnp.asarray(cs), cfg, pad_valid, mesh=mesh,
+                sp_axis=sp_axis)
+
     if k_pad <= chunk:
-        rel = expl_detr.generate(segm_cfg.method, params, image,
-                                 jnp.asarray(q), jnp.asarray(c), cfg,
-                                 pad_valid, mesh=mesh, sp_axis=sp_axis)
+        rel = _gen(q, c)
     else:
         parts = []
         for s in range(0, k_pad, chunk):
@@ -132,16 +187,12 @@ def explain_image(
             qs = np.zeros((chunk,), np.int32)
             cs = np.zeros((chunk,), np.int32)
             qs[:e - s], cs[:e - s] = q[s:e], c[s:e]
-            part = expl_detr.generate(
-                segm_cfg.method, params, image, jnp.asarray(qs),
-                jnp.asarray(cs), cfg, pad_valid, mesh=mesh,
-                sp_axis=sp_axis)
-            parts.append(part[:e - s])
+            parts.append(_gen(qs, cs)[:e - s])
         rel = jnp.concatenate(parts, axis=0)
 
     Hf, Wf = out["feat_hw"]
     H, W = image.shape[:2]
-    masks = masks_from_relevancy(rel, (Hf, Wf), (H, W))
+    masks = _masks_jit(rel, (Hf, Wf), (H, W))
     prob = np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))
     return {
         "query_idx": q, "classes": c, "valid": valid,

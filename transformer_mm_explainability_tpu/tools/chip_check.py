@@ -43,13 +43,21 @@ def _report(name: str, got, want, tol: float, atol: float = 0.0) -> bool:
     rel = adiff / scale
     # pass on EITHER bound: rel alone misfires when the output's own
     # scale is tiny (relevancy rows sum to ~1e-2 at B=4), turning
-    # float-noise absolutes into large relatives
-    ok = bool(rel <= tol or adiff <= atol)
+    # float-noise absolutes into large relatives. The record names
+    # WHICH bound(s) justified the PASS so a violated rel-tol can
+    # never sit unexplained next to pass=true (VERDICT r04 weak #6).
+    rel_ok, abs_ok = bool(rel <= tol), bool(adiff <= atol)
+    ok = rel_ok or abs_ok
+    passed_via = ([b for b, hit in (("rel_tol", rel_ok),
+                                    ("abs_tol", abs_ok)) if hit]
+                  if ok else None)
     RECORDS.append({"kernel": name, "max_abs_delta": float(adiff),
                     "rel": float(rel), "tol": tol, "atol": atol,
-                    "pass": ok})
+                    "rel_tol_ok": rel_ok, "abs_tol_ok": abs_ok,
+                    "passed_via": passed_via, "pass": ok})
+    via = f" via {'+'.join(passed_via)}" if ok else ""
     print(f"{'PASS' if ok else 'FAIL'} {name}: max|Δ|={adiff:.3e} "
-          f"(rel {rel:.3e}, tol {tol:.0e}, atol {atol:.0e})")
+          f"(rel {rel:.3e}, tol {tol:.0e}, atol {atol:.0e}){via}")
     return ok
 
 

@@ -114,12 +114,15 @@ def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print):
         fused = jax.jit(lambda p, im, tg: vit.relevancy_fused(
             p, im, tg, cfg, interpret=not on_tpu))
 
-        # forward-subprogram-only timer (same capture fwd, no bwd):
-        def fwd_only(p, im, tg):
-            return vit.relevancy_fused_forward_probe(p, im, cfg,
-                                                     interpret=not on_tpu)
-
-        fwd_jit = jax.jit(fwd_only)
+        # fwd/bwd split: BOTH programs reduced to one scalar on-device
+        # so host readback cost is identical. VERDICT r04 weak #5: the
+        # probe used to return [B, 1000] logits vs the full program's
+        # [B, 196] maps — the extra tunnel readback swamped the split
+        # and produced impossible negative bwd fractions.
+        fused_dev = jax.jit(lambda p, im, tg: vit.relevancy_fused(
+            p, im, tg, cfg, interpret=not on_tpu).sum())
+        fwd_dev = jax.jit(lambda p, im, tg: vit.relevancy_fused_forward_probe(
+            p, im, cfg, interpret=not on_tpu).sum())
 
         for dtype in ("fp32", "bf16"):
             if dtype == "bf16":
@@ -131,8 +134,10 @@ def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print):
                 p_, im_ = params, images
                 dbytes = 4
             try:
+                # headline rate: full-map readback, bench.py parity
                 dt = _sustained(fused, (p_, im_, targets))
-                dt_fwd = _sustained(fwd_jit, (p_, im_, targets))
+                dt_dev = _sustained(fused_dev, (p_, im_, targets))
+                dt_fwd = _sustained(fwd_dev, (p_, im_, targets))
             except Exception as e:  # OOM at large B etc.
                 rows.append({"batch": B, "dtype": dtype,
                              "error": repr(e)[:200]})
@@ -143,8 +148,9 @@ def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print):
                 "batch": B, "dtype": dtype,
                 "maps_per_s": round(rate, 1),
                 "ms_per_batch": round(dt * 1e3, 2),
+                "ms_per_batch_scalar_readback": round(dt_dev * 1e3, 2),
                 "ms_per_batch_fwd_only": round(dt_fwd * 1e3, 2),
-                "bwd_fraction": round(1 - dt_fwd / dt, 3),
+                "bwd_fraction": round(1 - dt_fwd / dt_dev, 3),
                 "model_gflops_per_map": round(fl["total"] / 1e9, 2),
                 "achieved_tflops": round(rate * fl["total"] / 1e12, 1),
                 "mxu_peak_fraction": round(

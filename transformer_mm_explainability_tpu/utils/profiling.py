@@ -56,6 +56,36 @@ def profile_section(name: str, level: int = logging.DEBUG
         logger.log(level, "%s: %.3fs", name, time.time() - t0)
 
 
+def hlo_memory_analysis(jit_fn, *args, **kwargs):
+    """Compiled-HLO memory footprint of one jitted program.
+
+    Fallback evidence when the backend exposes no allocator stats
+    (``device.memory_stats()`` is None on the tunneled PJRT plugin):
+    XLA's buffer-assignment totals for the compiled executable —
+    arguments + outputs + temporaries, i.e. the peak working set the
+    program reserves in HBM. With the persistent compilation cache
+    enabled, calling this on an already-run program costs one re-trace
+    and a cache hit, not a recompile. Returns a dict or None.
+    """
+    try:
+        ma = jit_fn.lower(*args, **kwargs).compile().memory_analysis()
+        if ma is None:
+            return None
+        fields = {
+            "argument_bytes": int(ma.argument_size_in_bytes),
+            "output_bytes": int(ma.output_size_in_bytes),
+            "temp_bytes": int(ma.temp_size_in_bytes),
+            "alias_bytes": int(ma.alias_size_in_bytes),
+            "code_bytes": int(ma.generated_code_size_in_bytes),
+        }
+        fields["peak_bytes_estimate"] = (
+            fields["argument_bytes"] + fields["output_bytes"]
+            + fields["temp_bytes"] - fields["alias_bytes"])
+        return fields
+    except Exception:
+        return None
+
+
 def enable_nan_debugging(enabled: bool = True) -> None:
     """jax_debug_nans: re-runs the failing primitive eagerly and raises
     where a NaN is produced."""
