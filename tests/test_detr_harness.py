@@ -146,3 +146,19 @@ def test_keep_detections_padding():
     assert list(q[:2]) == [3, 7]
     assert list(c[:2]) == [1, 2]
     assert v[:2].all() and not v[2:].any()
+
+
+def test_pack_mask_bits_roundtrip():
+    """Device bit-packing must be np.unpackbits-exact for any width
+    (incl. non-multiple-of-8) — the protocol transfers masks as bits."""
+    import jax.numpy as jnp
+    from transformer_mm_explainability_tpu.harness import detr_segm
+
+    rng = np.random.RandomState(0)
+    for W in (96, 101, 1088):
+        m = (rng.rand(5, 7, W) > 0.5).astype(np.float32)
+        packed = np.asarray(detr_segm.pack_mask_bits(jnp.asarray(m)))
+        assert packed.dtype == np.uint8
+        assert packed.shape == (5, 7, -(-W // 8))
+        got = detr_segm.unpack_mask_bits(packed, W)
+        np.testing.assert_array_equal(got, m.astype(np.uint8))

@@ -56,21 +56,27 @@ def evaluate(
         target = dataset.target(image_id)
         img, valid = prepare_image(raw, shortest)
         out = detr_segm.explain_image(params, img, cfg, segm_cfg,
-                                      pad_valid=valid)
+                                      pad_valid=valid, pack_masks=True)
         k = out["valid"]
         H, W = raw.shape[:2]
         # GT masks were rasterised at the original size; resize pred
-        # masks back from the padded/resized grid
+        # masks back from the padded/resized grid. Masks cross the
+        # device boundary as bit-planes (pack_mask_bits: 32x smaller
+        # transfer) and the crop + nearest resize runs on the host —
+        # the old dense path re-uploaded 348 MB per protocol image
+        # just to run a nearest-neighbour gather on device
         scale = shortest / min(H, W)
         if max(H, W) * scale > 1333:
             scale = 1333 / max(H, W)
         rh, rw = int(round(H * scale)), int(round(W * scale))
-        pred_masks = out["masks"][:, :rh, :rw]
-        import jax
-
-        pred_masks = np.asarray(jax.image.resize(
-            jnp.asarray(pred_masks), (pred_masks.shape[0], H, W),
-            method="nearest"))[k]
+        dense = detr_segm.unpack_mask_bits(out["masks_packed"],
+                                           out["mask_hw"][1])
+        dense = dense[:, :rh, :rw]
+        yi = np.clip(np.round((np.arange(H) + 0.5) * rh / H - 0.5)
+                     .astype(np.int64), 0, rh - 1)
+        xi = np.clip(np.round((np.arange(W) + 0.5) * rw / W - 0.5)
+                     .astype(np.int64), 0, rw - 1)
+        pred_masks = dense[:, yi[:, None], xi[None, :]][k]
         # evaluator-side GT: non-crowd AND crowd annotations (the
         # training target() drops crowds per the reference loader, but
         # pycocotools scores against the full GT — crowds become

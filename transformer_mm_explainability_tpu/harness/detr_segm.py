@@ -108,7 +108,33 @@ def _generate_jit(method: str, cfg: detr_model.DETRConfig):
     return jax.jit(gen)
 
 
+def pack_mask_bits(masks: jnp.ndarray) -> jnp.ndarray:
+    """[K, H, W] {0,1} → [K, H, ceil(W/8)] uint8 (np.unpackbits-
+    compatible, bitorder 'big').
+
+    Device-side bit-packing before the host transfer: at the protocol's
+    800px, 100 binary masks are 348 MB as fp32 but 10.9 MB as bits —
+    measured 21.3 s vs <1 s readback over the tunneled device, which
+    was the dominant cost of the whole per-image pipeline."""
+    K, H, W = masks.shape
+    pad = (-W) % 8
+    if pad:
+        masks = jnp.pad(masks, ((0, 0), (0, 0), (0, pad)))
+    mb = masks.reshape(K, H, -1, 8).astype(jnp.int32)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return (mb * weights).sum(-1).astype(jnp.uint8)
+
+
+def unpack_mask_bits(packed: np.ndarray, width: int) -> np.ndarray:
+    """Host inverse of ``pack_mask_bits`` → [K, H, width] uint8."""
+    return np.unpackbits(np.asarray(packed), axis=-1)[..., :width]
+
+
 _masks_jit = jax.jit(masks_from_relevancy, static_argnums=(1, 2))
+_masks_packed_jit = jax.jit(
+    lambda rel, fhw, ohw: pack_mask_bits(
+        masks_from_relevancy(rel, fhw, ohw)),
+    static_argnums=(1, 2))
 
 # (jit_fn, args) of the most recent heaviest relevancy program — lets
 # tools/protocol_rehearsal record a compiled-HLO memory estimate for
@@ -124,8 +150,14 @@ def explain_image(
     pad_valid: Optional[jnp.ndarray] = None,
     mesh=None,
     sp_axis: str = "tp",
+    pack_masks: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Full per-image pipeline → dict with detections + binary masks.
+
+    ``pack_masks=True`` returns ``masks_packed`` ([K, H, ceil(W/8)]
+    uint8 bit-planes, see ``pack_mask_bits``) + ``mask_hw`` instead of
+    dense ``masks`` — the fast path for host-driven evaluation loops
+    over a remote device.
 
     ``mesh`` routes the "ours" relevancy chains sequence-parallel over
     ``mesh[sp_axis]`` (parallel/sp.py): at the protocol's 800px the
@@ -192,14 +224,19 @@ def explain_image(
 
     Hf, Wf = out["feat_hw"]
     H, W = image.shape[:2]
-    masks = _masks_jit(rel, (Hf, Wf), (H, W))
     prob = np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))
-    return {
+    result = {
         "query_idx": q, "classes": c, "valid": valid,
         "scores": prob[q, c],
         "boxes": np.asarray(out["pred_boxes"][0])[q],
-        "masks": np.asarray(masks),
     }
+    if pack_masks:
+        result["masks_packed"] = np.asarray(
+            _masks_packed_jit(rel, (Hf, Wf), (H, W)))
+        result["mask_hw"] = (H, W)
+    else:
+        result["masks"] = np.asarray(_masks_jit(rel, (Hf, Wf), (H, W)))
+    return result
 
 
 # ---------------------------------------------------------------------------
