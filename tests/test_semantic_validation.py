@@ -98,3 +98,29 @@ def test_sweeps_smoke_untrained():
     for e in sweeps:
         assert len(e["step_accuracies"]) == len(e["steps"])
         assert np.isfinite(e["auc"])
+
+
+def test_fully_masked_keys_contribute_nothing():
+    """Reference parity at the 100%-removal perturbation step: physical
+    removal leaves an empty key axis and torch matmul yields zeros
+    (lxmert/lxmert/perturbation.py:112-117 at step=1.0) — the additive
+    -10000 bias must not fall back to a uniform average of the
+    'removed' values."""
+    import jax.numpy as jnp
+    from transformer_mm_explainability_tpu.ops.attention import (
+        attention_core)
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 2, 3, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 2, 5, 4).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 2, 5, 4).astype(np.float32))
+    # batch 0: all keys masked; batch 1: one key valid
+    mask = np.zeros((2, 1, 1, 5), np.float32)
+    mask[0, ..., :] = -10000.0
+    mask[1, ..., :4] = -10000.0
+    out, probs = attention_core(q, k, v, mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    # the partially-masked batch attends only the valid key
+    np.testing.assert_allclose(np.asarray(out[1]),
+                               np.broadcast_to(np.asarray(v[1, :, 4:5]),
+                                               out[1].shape), rtol=1e-5)

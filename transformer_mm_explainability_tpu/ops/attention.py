@@ -103,6 +103,17 @@ def attention_core(
         v,
         preferred_element_type=probs_dtype,
     ).astype(v.dtype)
+    if mask is not None:
+        # a fully-masked key set must contribute NOTHING: the reference
+        # physically removes entries, and a torch matmul over the
+        # resulting empty axis yields zeros (lxmert/lxmert/
+        # perturbation.py:112-117 at step=1.0 passes 0 boxes). The
+        # additive-bias softmax would instead go uniform and leak an
+        # average of the "removed" values — observable as a spurious
+        # accuracy jump at the 100%-removal perturbation step on
+        # cross-attention (visual-only key sets). Zero those rows.
+        any_valid = (mask > -5000.0).any(axis=-1, keepdims=True)
+        out = out * any_valid.astype(out.dtype)
     return out, probs
 
 
