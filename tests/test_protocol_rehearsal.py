@@ -97,3 +97,24 @@ def test_phase_memory_records_hlo_estimate():
     assert rec["hlo_programs"]["prog"]["argument_bytes"] == 64 * 64 * 4
     assert rec["peak_bytes_estimate"] > 0
     assert rec["hbm_budget_gb"] == 16.0
+
+
+@pytest.mark.slow
+def test_lxmert_rehearsal_resume(tmp_path):
+    """The sidecar resume must skip already-recorded samples (the RNG
+    stream is deterministic, so a relaunch replays the same protocol)."""
+    import json as _json
+
+    side = tmp_path / "resume.json"
+    side.write_text(_json.dumps({
+        "i": 1, "wall_s": 7.0, "accs_sum": [1.0] * 9,
+        "per_sample_ms": [100.0], "compile_s": 2.0}))
+    out = pr.rehearse_lxmert(num_samples=2, image_hw=(128, 160),
+                             text_len=8, resume_path=str(side),
+                             printer=lambda *a: None)
+    assert out["resumed_at"] == 1
+    assert out["num_samples"] == 2
+    assert out["wall_s"] >= 7.0          # prior wall carried over
+    # the prior phase's accumulated accuracies are included
+    assert min(out["step_accuracies"]) >= 0.5
+    assert not side.exists()             # cleaned up on completion

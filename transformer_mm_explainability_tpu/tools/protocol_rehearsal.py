@@ -209,6 +209,8 @@ def rehearse_lxmert(
     positive: bool = False,
     seed: int = 1234,
     full_protocol_samples: int = 10000,
+    resume_path: Optional[str] = None,
+    stall_timeout_s: float = 300.0,
     printer=print,
 ) -> Dict:
     """Full-size LXMERT (9/5/5 layers) + full FRCNN-VG (R101-C4,
@@ -272,33 +274,92 @@ def rehearse_lxmert(
 
     program_j = jax.jit(program)
 
+    # resume + stall-watchdog: a multi-hour per-sample loop over the
+    # tunneled device can wedge forever inside a blocked readback if
+    # the tunnel drops (observed: futex_wait, zero CPU, no exception).
+    # The watchdog hard-exits the process when no sample completes
+    # within ``stall_timeout_s`` so a wrapper can relaunch; the seeded
+    # RNG makes every sample deterministic, so the sidecar resume
+    # replays exactly the same protocol from where it stopped.
+    start_i, prior_wall = 0, 0.0
     accs_sum = np.zeros(len(steps))
-    compile_s = None
     per_sample_ms: List[float] = []
+    compile_s = None
+    if resume_path:
+        try:
+            with open(resume_path) as f:
+                st = json.load(f)
+            start_i = int(st["i"])
+            prior_wall = float(st["wall_s"])
+            accs_sum = np.asarray(st["accs_sum"], np.float64)
+            per_sample_ms = list(st["per_sample_ms"])
+            compile_s = st.get("compile_s")
+            printer(f"  resuming lxmert protocol at sample {start_i} "
+                    f"(prior wall {prior_wall:.0f}s)")
+        except (OSError, ValueError, KeyError):
+            pass
+
+    import os as _os
+    import threading
+    # grace for the first sample, which carries the (possibly cold)
+    # remote compile — r4 measured up to 614 s on a cold cache
+    heartbeat = [time.time() + 900]
+
+    def _watchdog():
+        while True:
+            time.sleep(10)
+            if time.time() - heartbeat[0] > stall_timeout_s:
+                printer(f"  STALL: no sample finished in "
+                        f"{stall_timeout_s:.0f}s — exiting for relaunch")
+                sys.stdout.flush()
+                _os._exit(42)
+
+    if stall_timeout_s:
+        threading.Thread(target=_watchdog, daemon=True).start()
+
     probe_args = None
     t0 = _now()
     for i in range(num_samples):
-        image = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+        image_np = rng.rand(H, W, 3).astype(np.float32)
         tl = rng.randint(6, text_len + 1)
         ids = np.zeros(text_len, np.int32)
         ids[:tl] = rng.randint(1, 30000, size=tl)
         mask = (np.arange(text_len) < tl).astype(np.int32)
         soft = np.zeros(3129, np.float32)
         soft[rng.randint(0, 3129)] = 1.0
-        probe_args = (fparams, lparams, image, jnp.asarray(ids),
-                      jnp.asarray(mask), jnp.asarray(soft))
+        if i < start_i:
+            continue  # RNG fast-forward: identical sample stream
+        probe_args = (fparams, lparams, jnp.asarray(image_np),
+                      jnp.asarray(ids), jnp.asarray(mask),
+                      jnp.asarray(soft))
         tb = _now()
         accs = np.asarray(program_j(*probe_args))
         dt = _now() - tb
-        if compile_s is None:
-            compile_s = dt
+        heartbeat[0] = time.time()
+        # the watchdog allows one compile per (re)launch
+        if compile_s is None or (i == start_i and dt > 30):
+            if compile_s is None:
+                compile_s = dt
         else:
             per_sample_ms.append(dt * 1e3)
         accs_sum += accs
         if (i + 1) % 50 == 0:
             printer(f"  [{i + 1}/{num_samples}] lxmert samples "
                     f"({np.median(per_sample_ms):.0f} ms/sample)")
-    wall = _now() - t0
+            sys.stdout.flush()
+        if resume_path and (i + 1) % 100 == 0:
+            with open(resume_path, "w") as f:
+                json.dump({"i": i + 1,
+                           "wall_s": prior_wall + (_now() - t0),
+                           "accs_sum": accs_sum.tolist(),
+                           "per_sample_ms": per_sample_ms[-2000:],
+                           "compile_s": compile_s}, f)
+    wall = prior_wall + (_now() - t0)
+    if resume_path:
+        try:
+            _os.remove(resume_path)
+        except OSError:
+            pass
     curve = (accs_sum / max(num_samples, 1)).tolist()
     steady = float(np.median(per_sample_ms)) if per_sample_ms else None
     result = {
@@ -312,6 +373,7 @@ def rehearse_lxmert(
                    "seed": seed},
         "num_samples": num_samples,
         "wall_s": round(wall, 2),
+        "resumed_at": start_i or None,
         "compile_s": round(compile_s, 2) if compile_s else None,
         "ms_per_sample_steady": round(steady, 1) if steady else None,
         "step_accuracies": [round(float(a), 6) for a in curve],
@@ -554,7 +616,9 @@ def main(argv=None) -> int:
         checkpoint()
     if args.protocol in ("all", "lxmert"):
         results["lxmert"] = {**rehearse_lxmert(
-            num_samples=args.lx_samples, method=args.method), **prov}
+            num_samples=args.lx_samples, method=args.method,
+            resume_path=(args.out + ".lxmert_resume.json"
+                         if args.out else None)), **prov}
         checkpoint()
     if args.protocol in ("all", "detr"):
         results["detr"] = {**rehearse_detr(
