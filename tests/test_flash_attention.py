@@ -101,6 +101,99 @@ def test_qkv_layout_kernels_match_split_kernels(B, H, S, D):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("B,H,S,D", [(2, 4, 17, 64), (1, 6, 49, 96),
+                                     (2, 12, 197, 768)])
+def test_attn_block_kernels_match_xla_block(B, H, S, D):
+    """The layer-granular kernels (LN1 → qkv → attention → proj →
+    residual, and their fused backward+Ê-fold) == the XLA composition
+    and its autodiff, including the in-kernel LayerNorm VJP."""
+    from transformer_mm_explainability_tpu.ops import attn_block_pallas as ab
+
+    rng = np.random.RandomState(0)
+    f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    # weights at 1/√D keep attention logits O(1): saturated softmax
+    # would amplify benign reduction-order noise into the comparison
+    w = lambda *s: jnp.asarray(
+        rng.randn(*s).astype(np.float32) / np.sqrt(D))
+    x = f(B, S, D)
+    wqkv, bqkv = w(D, 3 * D), 0.1 * f(3 * D)
+    wout, bout = w(D, D), 0.1 * f(D)
+    g1, b1 = 1.0 + 0.1 * f(D), 0.1 * f(D)
+    cot = f(B, S, D)
+    r = jnp.asarray(rng.rand(B, S).astype(np.float32))
+    eps = 1e-6
+    dh = D // H
+
+    def xla_block(x):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        xh = (xf - mu) * jax.lax.rsqrt(xf.var(-1, keepdims=True) + eps)
+        h1 = xh * g1 + b1
+        qkv = h1 @ wqkv + bqkv
+        q, k, v = (t.reshape(B, S, H, dh).transpose(0, 2, 1, 3)
+                   for t in jnp.split(qkv, 3, -1))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh)
+        a = jax.nn.softmax(s, -1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", a, v)
+        merged = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        return x + merged @ wout + bout, a
+
+    want_mid, a_probs = xla_block(x)
+    got_mid = ab.attn_block_fwd(x, wqkv, bqkv, wout, bout, g1, b1, H,
+                                eps, interpret=True, fast_dots=False)
+    # different f32 reduction orders (per-head 2D dots vs einsum): a
+    # few-ulp spread on O(10) magnitudes is expected even in interpret
+    np.testing.assert_allclose(np.asarray(got_mid), np.asarray(want_mid),
+                               rtol=5e-4, atol=1e-4)
+
+    # backward: input cotangent AND the Ê fold against autodiff
+    def block_with_tap(x, tap):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        xh = (xf - mu) * jax.lax.rsqrt(xf.var(-1, keepdims=True) + eps)
+        h1 = xh * g1 + b1
+        qkv = h1 @ wqkv + bqkv
+        q, k, v = (t.reshape(B, S, H, dh).transpose(0, 2, 1, 3)
+                   for t in jnp.split(qkv, 3, -1))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh)
+        a = jax.nn.softmax(s, -1) + tap
+        out = jnp.einsum("bhqk,bhkd->bhqd", a, v)
+        merged = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        return x + merged @ wout + bout
+
+    zero_tap = jnp.zeros((B, H, S, S), jnp.float32)
+    _, vjp = jax.vjp(block_with_tap, x, zero_tap)
+    want_cot, grad_a = vjp(cot)
+    e_hat = jnp.maximum(a_probs * grad_a, 0.0).mean(axis=1)
+    want_e = jnp.einsum("bq,bqk->bk", r, e_hat)
+
+    got_cot, got_e = ab.attn_block_bwd(x, cot, r, wqkv, bqkv, wout,
+                                       g1, b1, H, eps, interpret=True,
+                                       fast_dots=False)
+    np.testing.assert_allclose(np.asarray(got_cot), np.asarray(want_cot),
+                               rtol=5e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               rtol=5e-4, atol=1e-4)
+
+
+def test_relevancy_fused_block_matches_reference_chain():
+    """relevancy_fused_block == relevancy_streamed_row == relevancy."""
+    from transformer_mm_explainability_tpu.models import vit
+
+    cfg = vit.ViTConfig(image_size=64, patch_size=16, width=64, depth=3,
+                        num_heads=4, mlp_ratio=4, num_classes=10)
+    p = vit.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    im = jnp.asarray(rng.randn(3, 64, 64, 3).astype(np.float32))
+    tg = jnp.asarray([1, 2, 3])
+    row = np.asarray(vit.relevancy_streamed_row(p, im, tg, cfg))
+    ref = np.asarray(vit.relevancy(p, im, tg, cfg))
+    got = np.asarray(vit.relevancy_fused_block(p, im, tg, cfg,
+                                               interpret=True))
+    np.testing.assert_allclose(got, row, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-5)
+
+
 def test_relevancy_fused_matches_reference_chain():
     """relevancy_fused == the parity-tested relevancy (to fp32
     recompute noise) and == relevancy_streamed_row (same structure)."""

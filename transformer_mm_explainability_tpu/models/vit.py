@@ -417,6 +417,101 @@ def relevancy_fused(
     return r[:, 1:]
 
 
+def relevancy_fused_block(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    targets: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+    row: int = 0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """``relevancy_fused`` with layer-granular attention kernels —
+    the HBM-minimal fp32 path.
+
+    vs ``relevancy_fused`` (which already keeps A in VMEM): the WHOLE
+    attention residual branch of each block runs as one Pallas program
+    per image (ops/attn_block_pallas), so qkv, the merged attention
+    output, d_merged and dqkv never touch HBM either — per layer the
+    attention branch costs one [S, D] read + one write in each
+    direction instead of ~0.9 GB/batch of intermediate round-trips.
+    Weights ride as grid-constant bf16 blocks (same bf16-operand/f32-
+    accumulate dot arithmetic as XLA's default f32 matmul lowering, so
+    outputs still match the parity-tested chain to fp32 noise). The
+    MLP branch stays in XLA (its matmul chain fuses well and tapes a1).
+    """
+    from transformer_mm_explainability_tpu.ops import attn_block_pallas as ab
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    B = images.shape[0]
+    Hn, S = cfg.num_heads, cfg.seq_len
+    stacked = params["blocks"]
+    eps = cfg.ln_eps
+    # pre-cast attention weights ONCE (outside the scan): under
+    # fast_dots the kernel casts dot operands to bf16 anyway, so bf16
+    # storage is arithmetic-neutral and halves weight VMEM/HBM traffic
+    wdt = jnp.float32 if interpret else jnp.bfloat16
+    attn_w = {
+        "w_qkv": stacked["attn"].w_qkv.astype(wdt),
+        "w_out": stacked["attn"].w_out.astype(wdt),
+        "b_qkv": stacked["attn"].b_qkv,
+        "b_out": stacked["attn"].b_out,
+        "ln1s": stacked["ln1"]["scale"], "ln1b": stacked["ln1"]["bias"],
+    }
+    mlp_w = {"ln2": stacked["ln2"], "mlp": stacked["mlp"]}
+
+    def mlp_part(x_mid, p):
+        h2 = layer_norm(x_mid, p["ln2"]["scale"], p["ln2"]["bias"], eps)
+        a1 = h2 @ p["mlp"]["w1"] + p["mlp"]["b1"]
+        x_out = x_mid + gelu(a1) @ p["mlp"]["w2"] + p["mlp"]["b2"]
+        return x_out, a1
+
+    x = _embed(params, images, cfg)
+
+    def fwd_step(x, layer):
+        aw, mw = layer
+        x_mid = ab.attn_block_fwd(
+            x, aw["w_qkv"], aw["b_qkv"], aw["w_out"], aw["b_out"],
+            aw["ln1s"], aw["ln1b"], Hn, eps, interpret=interpret)
+        x_out, a1 = mlp_part(x_mid, mw)
+        return x_out, (x, x_mid, a1)
+
+    x_final, tape = jax.lax.scan(fwd_step, x, (attn_w, mlp_w))
+
+    def head_fn(xf):
+        h = layer_norm(xf, params["norm"]["scale"], params["norm"]["bias"],
+                       eps)
+        logits = h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+        return jnp.take_along_axis(logits, targets[:, None], axis=1).sum()
+
+    cot_x = jax.grad(head_fn)(x_final)
+
+    def bwd_step(carry, inputs):
+        cot_x, r = carry
+        (aw, mw), (x_in, x_mid, a1) = inputs
+        p = mw
+        # MLP backward from the taped pre-GELU (as in relevancy_fused)
+        d_g = cot_x @ p["mlp"]["w2"].T
+        _, gelu_vjp = jax.vjp(gelu, a1)
+        (d_a1,) = gelu_vjp(d_g)
+        d_h2 = d_a1 @ p["mlp"]["w1"].T
+        _, ln2_vjp = jax.vjp(
+            lambda xm: layer_norm(xm, p["ln2"]["scale"], p["ln2"]["bias"],
+                                  eps), x_mid)
+        (d_xmid_ln,) = ln2_vjp(d_h2)
+        cot_mid = cot_x + d_xmid_ln
+        # the whole attention backward + Ê fold in one kernel
+        cot_x_in, e_row = ab.attn_block_bwd(
+            x_in, cot_mid, r, aw["w_qkv"], aw["b_qkv"], aw["w_out"],
+            aw["ln1s"], aw["ln1b"], Hn, eps, interpret=interpret)
+        return (cot_x_in, r + e_row), None
+
+    r0 = jnp.zeros((B, S), jnp.float32).at[:, row].set(1.0)
+    (_, r), _ = jax.lax.scan(bwd_step, (cot_x, r0),
+                             ((attn_w, mlp_w), tape), reverse=True)
+    return r[:, 1:]
+
+
 def relevancy_fused_forward_probe(
     params: Dict[str, Any],
     images: jnp.ndarray,
