@@ -126,6 +126,27 @@ def test_dp_shard_map_fused_relevancy():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_dp_shard_map_fused_block_relevancy():
+    """The layer-granular kernel path (relevancy_fused_block) under the
+    same dp_shard_map pattern as the flash-kernel path above."""
+    mesh = pmesh.make_mesh(jax.devices())
+    params = vit.init_params(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(8)
+    targets = jnp.zeros((8,), jnp.int32)
+
+    fn = lambda p, im, tg: vit.relevancy_fused_block(p, im, tg, CFG,
+                                                     interpret=True)
+    ref = np.asarray(jax.jit(fn)(params, batch["images"], targets))
+
+    sharded_fn = jax.jit(pmesh.dp_shard_map(fn, mesh, batch_argnums=(1, 2)))
+    rep = pmesh.replicated(params, mesh)
+    images = pmesh.shard_batch({"x": batch["images"]}, mesh)["x"]
+    tg = pmesh.shard_batch({"t": targets}, mesh)["t"]
+    with mesh:
+        out = np.asarray(sharded_fn(rep, images, tg))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("S,start_layer", [(16, 0), (37, 0), (37, 2)])
 def test_sp_self_attention_relevancy(S, start_layer):
     """Sequence-parallel chain == the single-device scan, including a

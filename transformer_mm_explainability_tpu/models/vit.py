@@ -545,6 +545,49 @@ def relevancy_fused_forward_probe(
     return h[:, 0] @ params["head"]["w"] + params["head"]["b"]
 
 
+def relevancy_fused_block_forward_probe(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """EXACTLY the forward subprogram of ``relevancy_fused_block``
+    (embed + taping scan over layer-granular attention kernels + head),
+    returning the logits. Used by ``tools/roofline.py --path
+    fused_block`` to split wall-clock into fwd vs bwd; not a user API."""
+    from transformer_mm_explainability_tpu.ops import attn_block_pallas as ab
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    Hn, eps = cfg.num_heads, cfg.ln_eps
+    stacked = params["blocks"]
+    wdt = jnp.float32 if interpret else jnp.bfloat16
+    attn_w = {
+        "w_qkv": stacked["attn"].w_qkv.astype(wdt),
+        "w_out": stacked["attn"].w_out.astype(wdt),
+        "b_qkv": stacked["attn"].b_qkv,
+        "b_out": stacked["attn"].b_out,
+        "ln1s": stacked["ln1"]["scale"], "ln1b": stacked["ln1"]["bias"],
+    }
+    mlp_w = {"ln2": stacked["ln2"], "mlp": stacked["mlp"]}
+    x = _embed(params, images, cfg)
+
+    def fwd_step(x, layer):
+        aw, p = layer
+        x_mid = ab.attn_block_fwd(
+            x, aw["w_qkv"], aw["b_qkv"], aw["w_out"], aw["b_out"],
+            aw["ln1s"], aw["ln1b"], Hn, eps, interpret=interpret)
+        h2 = layer_norm(x_mid, p["ln2"]["scale"], p["ln2"]["bias"], eps)
+        a1 = h2 @ p["mlp"]["w1"] + p["mlp"]["b1"]
+        x_out = x_mid + gelu(a1) @ p["mlp"]["w2"] + p["mlp"]["b2"]
+        return x_out, (x, x_mid, a1)
+
+    x_final, _ = jax.lax.scan(fwd_step, x, (attn_w, mlp_w))
+    h = layer_norm(x_final, params["norm"]["scale"], params["norm"]["bias"],
+                   eps)
+    return h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+
+
 def relevancy(
     params: Dict[str, Any],
     images: jnp.ndarray,

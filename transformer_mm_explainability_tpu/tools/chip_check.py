@@ -112,6 +112,33 @@ def check_fused_vit(interpret: bool, small: bool = False) -> bool:
                    got, want, 5e-3, atol=1e-4)
 
 
+def check_fused_vit_block(interpret: bool, small: bool = False) -> bool:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.models import vit
+
+    cfg = vit.VIT_B_16
+    if small:
+        cfg = dataclasses.replace(cfg, depth=2, num_heads=4, width=128)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    B = 1 if small else 4
+    images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
+    want = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))(
+        params, images, targets)
+    got = jax.jit(lambda p, im, tg: vit.relevancy_fused_block(
+        p, im, tg, cfg, interpret=interpret))(params, images, targets)
+    # same bar as relevancy_fused: the <1e-4 absolute north star, with
+    # the scale-free relative as the secondary bound
+    return _report(
+        "vit.relevancy_fused_block (layer-granular attn kernels)",
+        got, want, 5e-3, atol=1e-4)
+
+
 def check_roi_pool(interpret: bool, small: bool = False) -> bool:
     import jax
     import jax.numpy as jnp
@@ -148,7 +175,8 @@ def main(argv=None) -> int:
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes (fast tool smoke; NOT a protocol-"
                          "shape validation)")
-    ap.add_argument("--only", choices=["relevancy", "fused_vit", "roi_pool"],
+    ap.add_argument("--only", choices=["relevancy", "fused_vit",
+                                       "fused_vit_block", "roi_pool"],
                     help="run a single check")
     ap.add_argument("--out", default=None,
                     help="write a JSON artifact (per-kernel max|Δ| + "
@@ -172,6 +200,7 @@ def main(argv=None) -> int:
     checks = {
         "relevancy": check_relevancy_kernel,
         "fused_vit": check_fused_vit,
+        "fused_vit_block": check_fused_vit_block,
         "roi_pool": check_roi_pool,
     }
     if args.only:

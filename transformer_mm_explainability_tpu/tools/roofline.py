@@ -92,7 +92,8 @@ def _sustained(fn, args, iters=12, depth=3) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print):
+def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print,
+        path="fused"):
     import jax
     import jax.numpy as jnp
 
@@ -105,13 +106,20 @@ def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print):
     on_tpu = dev.platform != "cpu"
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     fl = flops_per_map(cfg)
+    # which fused relevancy variant to profile (fused_block = the
+    # layer-granular attention kernels, ops/attn_block_pallas)
+    rel_fn, probe_fn = {
+        "fused": (vit.relevancy_fused, vit.relevancy_fused_forward_probe),
+        "fused_block": (vit.relevancy_fused_block,
+                        vit.relevancy_fused_block_forward_probe),
+    }[path]
 
     rows = []
     for B in batches:
         rng = np.random.RandomState(0)
         images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
         targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
-        fused = jax.jit(lambda p, im, tg: vit.relevancy_fused(
+        fused = jax.jit(lambda p, im, tg: rel_fn(
             p, im, tg, cfg, interpret=not on_tpu))
 
         # fwd/bwd split: BOTH programs reduced to one scalar on-device
@@ -119,9 +127,9 @@ def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print):
         # probe used to return [B, 1000] logits vs the full program's
         # [B, 196] maps — the extra tunnel readback swamped the split
         # and produced impossible negative bwd fractions.
-        fused_dev = jax.jit(lambda p, im, tg: vit.relevancy_fused(
+        fused_dev = jax.jit(lambda p, im, tg: rel_fn(
             p, im, tg, cfg, interpret=not on_tpu).sum())
-        fwd_dev = jax.jit(lambda p, im, tg: vit.relevancy_fused_forward_probe(
+        fwd_dev = jax.jit(lambda p, im, tg: probe_fn(
             p, im, cfg, interpret=not on_tpu).sum())
 
         for dtype in ("fp32", "bf16"):
@@ -176,7 +184,7 @@ def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print):
             images = jnp.asarray(
                 rng.randn(B, 224, 224, 3).astype(np.float32))
             targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
-            fused = jax.jit(lambda p, im, tg: vit.relevancy_fused(
+            fused = jax.jit(lambda p, im, tg: rel_fn(
                 p, im, tg, cfg, interpret=False))
             float(np.asarray(fused(params, images, targets)).sum())
             with jax.profiler.trace(trace_dir):
@@ -191,7 +199,8 @@ def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print):
         "artifact": "roofline",
         "device": str(dev),
         "backend": dev.platform,
-        "model": "vit_b16 relevancy_fused",
+        "model": f"vit_b16 relevancy_{path}" if path != "fused"
+                 else "vit_b16 relevancy_fused",
         # the bf16 rows measure EXACTLY bench.py's shipped bf16 mode:
         # params+images cast to bf16 (HBM traffic + MXU operand
         # precision), while the Pallas kernels upcast to fp32 in VMEM
@@ -216,10 +225,12 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None)
     p.add_argument("--batches", default="56,112")
     p.add_argument("--trace-dir", default=None)
+    p.add_argument("--path", default="fused",
+                   choices=["fused", "fused_block"])
     args = p.parse_args(argv)
     run(out_path=args.out,
         batches=tuple(int(b) for b in args.batches.split(",")),
-        trace_dir=args.trace_dir)
+        trace_dir=args.trace_dir, path=args.path)
     return 0
 
 
