@@ -176,6 +176,57 @@ def test_attn_block_kernels_match_xla_block(B, H, S, D):
                                rtol=5e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("B,S,D,I,chunks", [(2, 17, 64, 256, 4),
+                                            (1, 197, 768, 3072, 8)])
+def test_mlp_block_bwd_matches_autodiff(B, S, D, I, chunks):
+    """The fused MLP backward (a1 recomputed in VMEM, chunked hidden
+    dim) == jax.vjp of the XLA MLP residual branch."""
+    from transformer_mm_explainability_tpu.ops import attn_block_pallas as ab
+    from transformer_mm_explainability_tpu.ops.attention import (
+        gelu, layer_norm)
+
+    rng = np.random.RandomState(0)
+    f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    w = lambda *s: jnp.asarray(
+        rng.randn(*s).astype(np.float32) / np.sqrt(D))
+    x_mid, cot = f(B, S, D), f(B, S, D)
+    w1, b1 = w(D, I), 0.1 * f(I)
+    w2, b2 = w(I, D), 0.1 * f(D)
+    g2, bb2 = 1.0 + 0.1 * f(D), 0.1 * f(D)
+    eps = 1e-6
+
+    def branch(xm):
+        h2 = layer_norm(xm, g2, bb2, eps)
+        return xm + gelu(h2 @ w1 + b1) @ w2 + b2
+
+    _, vjp = jax.vjp(branch, x_mid)
+    (want,) = vjp(cot)
+    got = ab.mlp_block_bwd(x_mid, cot, w1, b1, w2, g2, bb2, eps,
+                           chunks=chunks, interpret=True,
+                           fast_dots=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=1e-4)
+
+
+def test_relevancy_fused_block2_matches_reference_chain():
+    """relevancy_fused_block2 (MLP bwd fused too, no a1 tape) ==
+    relevancy_streamed_row == relevancy."""
+    from transformer_mm_explainability_tpu.models import vit
+
+    cfg = vit.ViTConfig(image_size=64, patch_size=16, width=64, depth=3,
+                        num_heads=4, mlp_ratio=4, num_classes=10)
+    p = vit.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    im = jnp.asarray(rng.randn(3, 64, 64, 3).astype(np.float32))
+    tg = jnp.asarray([1, 2, 3])
+    row = np.asarray(vit.relevancy_streamed_row(p, im, tg, cfg))
+    ref = np.asarray(vit.relevancy(p, im, tg, cfg))
+    got = np.asarray(vit.relevancy_fused_block2(p, im, tg, cfg,
+                                                interpret=True))
+    np.testing.assert_allclose(got, row, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-5)
+
+
 def test_relevancy_fused_block_matches_reference_chain():
     """relevancy_fused_block == relevancy_streamed_row == relevancy."""
     from transformer_mm_explainability_tpu.models import vit

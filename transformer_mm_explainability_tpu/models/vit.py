@@ -545,6 +545,87 @@ def relevancy_fused_forward_probe(
     return h[:, 0] @ params["head"]["w"] + params["head"]["b"]
 
 
+def relevancy_fused_block2(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    targets: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+    row: int = 0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """``relevancy_fused_block`` with the MLP backward ALSO fused
+    (ops/attn_block_pallas.mlp_block_bwd) — no a1 tape.
+
+    The backward recomputes the pre-GELU activations from x_mid inside
+    VMEM (one extra [S, D]×[D, I] dot per layer) instead of taping
+    [L, B, S, I] fp32 through HBM, killing both the tape traffic and
+    the MLP-backward intermediates (d_g, d_a1, d_h2 round-trips). HBM
+    footprint drops by L·B·S·I·4 bytes (~1.6 GB at B=56), which also
+    unlocks larger batches. Same fp32-parity bar as the other fused
+    paths.
+    """
+    from transformer_mm_explainability_tpu.ops import attn_block_pallas as ab
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    B = images.shape[0]
+    Hn, S = cfg.num_heads, cfg.seq_len
+    stacked = params["blocks"]
+    eps = cfg.ln_eps
+    wdt = jnp.float32 if interpret else jnp.bfloat16
+    attn_w = {
+        "w_qkv": stacked["attn"].w_qkv.astype(wdt),
+        "w_out": stacked["attn"].w_out.astype(wdt),
+        "b_qkv": stacked["attn"].b_qkv,
+        "b_out": stacked["attn"].b_out,
+        "ln1s": stacked["ln1"]["scale"], "ln1b": stacked["ln1"]["bias"],
+    }
+    mlp_w = {
+        "w1": stacked["mlp"]["w1"].astype(wdt),
+        "b1": stacked["mlp"]["b1"],
+        "w2": stacked["mlp"]["w2"].astype(wdt),
+        "b2": stacked["mlp"]["b2"],
+        "ln2s": stacked["ln2"]["scale"], "ln2b": stacked["ln2"]["bias"],
+    }
+
+    x = _embed(params, images, cfg)
+
+    def fwd_step(x, layer):
+        aw, mw = layer
+        x_mid = ab.attn_block_fwd(
+            x, aw["w_qkv"], aw["b_qkv"], aw["w_out"], aw["b_out"],
+            aw["ln1s"], aw["ln1b"], Hn, eps, interpret=interpret)
+        h2 = layer_norm(x_mid, mw["ln2s"], mw["ln2b"], eps)
+        x_out = x_mid + gelu(h2 @ mw["w1"] + mw["b1"]) @ mw["w2"] + mw["b2"]
+        return x_out, (x, x_mid)
+
+    x_final, tape = jax.lax.scan(fwd_step, x, (attn_w, mlp_w))
+
+    def head_fn(xf):
+        h = layer_norm(xf, params["norm"]["scale"], params["norm"]["bias"],
+                       eps)
+        logits = h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+        return jnp.take_along_axis(logits, targets[:, None], axis=1).sum()
+
+    cot_x = jax.grad(head_fn)(x_final)
+
+    def bwd_step(carry, inputs):
+        cot_x, r = carry
+        (aw, mw), (x_in, x_mid) = inputs
+        cot_mid = ab.mlp_block_bwd(
+            x_mid, cot_x, mw["w1"], mw["b1"], mw["w2"],
+            mw["ln2s"], mw["ln2b"], eps, interpret=interpret)
+        cot_x_in, e_row = ab.attn_block_bwd(
+            x_in, cot_mid, r, aw["w_qkv"], aw["b_qkv"], aw["w_out"],
+            aw["ln1s"], aw["ln1b"], Hn, eps, interpret=interpret)
+        return (cot_x_in, r + e_row), None
+
+    r0 = jnp.zeros((B, S), jnp.float32).at[:, row].set(1.0)
+    (_, r), _ = jax.lax.scan(bwd_step, (cot_x, r0),
+                             ((attn_w, mlp_w), tape), reverse=True)
+    return r[:, 1:]
+
+
 def relevancy_fused_block_forward_probe(
     params: Dict[str, Any],
     images: jnp.ndarray,

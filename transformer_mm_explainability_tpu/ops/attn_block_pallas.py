@@ -145,6 +145,81 @@ def _bwd_kernel(x_ref, cot_ref, r_ref, wqkv_ref, bqkv_ref, wout_ref,
                    * (1.0 / nheads)).astype(e_ref.dtype)
 
 
+def _gelu_grad(x):
+    """d/dx of the exact (erf-based) GELU, matching ops.attention.gelu
+    (= torch.nn.GELU default): Φ(x) + x·φ(x)."""
+    phi_c = 0.5 * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+    pdf = jnp.exp(-0.5 * x * x) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+    return phi_c + x * pdf
+
+
+def _mlp_bwd_kernel(xmid_ref, cot_ref, w1_ref, b1_ref, w2_ref,
+                    g2_ref, b2_ref, cotmid_ref, *, eps: float,
+                    fast: bool, chunks: int):
+    """cot_mid for x_out = x_mid + gelu(LN2(x_mid)·w1+b1)·w2 + b2,
+    recomputing a1 from x_mid in VMEM (the a1 tape disappears).
+
+    The hidden dim is processed in ``chunks`` static slices of the
+    grid-constant weight blocks so the [S, I] activations never exist
+    whole — peak VMEM stays ~weights + a few [S, I/chunks] tiles."""
+    S = xmid_ref.shape[1]
+    I = w1_ref.shape[1]
+    cw = I // chunks
+    xm = xmid_ref[0].astype(jnp.float32)
+    cot = cot_ref[0].astype(jnp.float32)                 # d x_out
+    g2 = g2_ref[0].astype(jnp.float32)
+    mu = jnp.mean(xm, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xm - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xh = (xm - mu) * inv
+    h2 = xh * g2 + b2_ref[0]
+    dh2 = jnp.zeros((S, xm.shape[1]), jnp.float32)
+    for c in range(chunks):
+        w1c = w1_ref[:, c * cw:(c + 1) * cw]
+        a1c = _dot(h2, w1c, fast) + b1_ref[0, c * cw:(c + 1) * cw]
+        dgc = _dot(cot, w2_ref[c * cw:(c + 1) * cw, :], fast,
+                   ((1,), (1,)))
+        dac = _gelu_grad(a1c) * dgc
+        dh2 = dh2 + _dot(dac, w1c, fast, ((1,), (1,)))
+    dxm = _ln_vjp(dh2, g2, xh, inv)
+    cotmid_ref[0] = (cot + dxm).astype(cotmid_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "chunks",
+                                             "interpret", "fast_dots"))
+def mlp_block_bwd(x_mid: jnp.ndarray, cot_out: jnp.ndarray,
+                  w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray,
+                  ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+                  eps: float = 1e-6, chunks: int = 8,
+                  interpret: bool = False,
+                  fast_dots: bool = True) -> jnp.ndarray:
+    """Backward of the MLP residual branch in ONE kernel per image,
+    recomputing pre-GELU activations from x_mid (no a1 tape).
+
+    x_mid, cot_out: [B, S, D]. Returns cot_mid [B, S, D] including the
+    residual skip. The recomputed a1 uses the same bf16-operand/f32-
+    accumulate dot arithmetic as the XLA forward, so the GELU
+    derivative sees the forward's activations to fp32 noise."""
+    B, S, D = x_mid.shape
+    fast = fast_dots and not interpret
+    blk = pl.BlockSpec((1, S, D), lambda b: (b, 0, 0))
+    I = w1.shape[1]
+    c = lambda b: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps, fast=fast,
+                          chunks=chunks),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), x_mid.dtype),
+        grid=(B,),
+        in_specs=[blk, blk,
+                  pl.BlockSpec((D, I), c), pl.BlockSpec((1, I), c),
+                  pl.BlockSpec((I, D), c),
+                  pl.BlockSpec((1, D), c), pl.BlockSpec((1, D), c)],
+        out_specs=blk,
+        interpret=interpret,
+    )(x_mid, cot_out, w1, b1.reshape(1, -1), w2,
+      ln_scale.reshape(1, -1), ln_bias.reshape(1, -1))
+
+
 def _wspecs(D: int):
     """Grid-constant weight/bias blocks: index maps ignore the batch
     grid axis, so Mosaic fetches each exactly once per pallas_call

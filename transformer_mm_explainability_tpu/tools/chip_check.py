@@ -139,6 +139,31 @@ def check_fused_vit_block(interpret: bool, small: bool = False) -> bool:
         got, want, 5e-3, atol=1e-4)
 
 
+def check_fused_vit_block2(interpret: bool, small: bool = False) -> bool:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_mm_explainability_tpu.models import vit
+
+    cfg = vit.VIT_B_16
+    if small:
+        cfg = dataclasses.replace(cfg, depth=2, num_heads=4, width=128)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    B = 1 if small else 4
+    images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
+    want = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))(
+        params, images, targets)
+    got = jax.jit(lambda p, im, tg: vit.relevancy_fused_block2(
+        p, im, tg, cfg, interpret=interpret))(params, images, targets)
+    return _report(
+        "vit.relevancy_fused_block2 (attn+MLP kernels, no a1 tape)",
+        got, want, 5e-3, atol=1e-4)
+
+
 def check_roi_pool(interpret: bool, small: bool = False) -> bool:
     import jax
     import jax.numpy as jnp
@@ -176,7 +201,8 @@ def main(argv=None) -> int:
                     help="tiny shapes (fast tool smoke; NOT a protocol-"
                          "shape validation)")
     ap.add_argument("--only", choices=["relevancy", "fused_vit",
-                                       "fused_vit_block", "roi_pool"],
+                                       "fused_vit_block",
+                                       "fused_vit_block2", "roi_pool"],
                     help="run a single check")
     ap.add_argument("--out", default=None,
                     help="write a JSON artifact (per-kernel max|Δ| + "
@@ -201,6 +227,7 @@ def main(argv=None) -> int:
         "relevancy": check_relevancy_kernel,
         "fused_vit": check_fused_vit,
         "fused_vit_block": check_fused_vit_block,
+        "fused_vit_block2": check_fused_vit_block2,
         "roi_pool": check_roi_pool,
     }
     if args.only:

@@ -40,7 +40,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--batches", default="28,56,84,112")
     ap.add_argument("--dtypes", default="fp32,bf16")
-    ap.add_argument("--paths", default="fused,fused_block")
+    ap.add_argument("--paths", default="fused,fused_block,fused_block2")
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default=None)
@@ -64,6 +64,9 @@ def main(argv=None) -> int:
             p, im, tg, cfg, interpret=interp)),
         "fused_block": jax.jit(lambda p, im, tg: vit.relevancy_fused_block(
             p, im, tg, cfg, interpret=interp)),
+        "fused_block2": jax.jit(
+            lambda p, im, tg: vit.relevancy_fused_block2(
+                p, im, tg, cfg, interpret=interp)),
     }
     rng = np.random.RandomState(0)
     rows = []
