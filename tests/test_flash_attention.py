@@ -207,6 +207,13 @@ def test_mlp_block_bwd_matches_autodiff(B, S, D, I, chunks):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=1e-4)
 
+    want_fwd = branch(x_mid)
+    got_fwd = ab.mlp_block_fwd(x_mid, w1, b1, w2, b2, g2, bb2, eps,
+                               chunks=chunks, interpret=True,
+                               fast_dots=False)
+    np.testing.assert_allclose(np.asarray(got_fwd), np.asarray(want_fwd),
+                               rtol=5e-4, atol=1e-4)
+
 
 def test_relevancy_fused_block2_matches_reference_chain():
     """relevancy_fused_block2 (MLP bwd fused too, no a1 tape) ==

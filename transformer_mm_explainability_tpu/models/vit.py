@@ -595,8 +595,9 @@ def relevancy_fused_block2(
         x_mid = ab.attn_block_fwd(
             x, aw["w_qkv"], aw["b_qkv"], aw["w_out"], aw["b_out"],
             aw["ln1s"], aw["ln1b"], Hn, eps, interpret=interpret)
-        h2 = layer_norm(x_mid, mw["ln2s"], mw["ln2b"], eps)
-        x_out = x_mid + gelu(h2 @ mw["w1"] + mw["b1"]) @ mw["w2"] + mw["b2"]
+        x_out = ab.mlp_block_fwd(
+            x_mid, mw["w1"], mw["b1"], mw["w2"], mw["b2"],
+            mw["ln2s"], mw["ln2b"], eps, interpret=interpret)
         return x_out, (x, x_mid)
 
     x_final, tape = jax.lax.scan(fwd_step, x, (attn_w, mlp_w))
@@ -664,6 +665,42 @@ def relevancy_fused_block_forward_probe(
         return x_out, (x, x_mid, a1)
 
     x_final, _ = jax.lax.scan(fwd_step, x, (attn_w, mlp_w))
+    h = layer_norm(x_final, params["norm"]["scale"], params["norm"]["bias"],
+                   eps)
+    return h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+
+
+def relevancy_fused_block2_forward_probe(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    cfg: ViTConfig = VIT_B_16,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Forward subprogram of ``relevancy_fused_block2`` (both branch
+    kernels), returning the logits — roofline fwd/bwd split probe."""
+    from transformer_mm_explainability_tpu.ops import attn_block_pallas as ab
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    Hn, eps = cfg.num_heads, cfg.ln_eps
+    stacked = params["blocks"]
+    wdt = jnp.float32 if interpret else jnp.bfloat16
+    x = _embed(params, images, cfg)
+
+    def fwd_step(x, p):
+        x_mid = ab.attn_block_fwd(
+            x, p["attn"].w_qkv.astype(wdt), p["attn"].b_qkv,
+            p["attn"].w_out.astype(wdt), p["attn"].b_out,
+            p["ln1"]["scale"], p["ln1"]["bias"], Hn, eps,
+            interpret=interpret)
+        x_out = ab.mlp_block_fwd(
+            x_mid, p["mlp"]["w1"].astype(wdt), p["mlp"]["b1"],
+            p["mlp"]["w2"].astype(wdt), p["mlp"]["b2"],
+            p["ln2"]["scale"], p["ln2"]["bias"], eps,
+            interpret=interpret)
+        return x_out, (x, x_mid)
+
+    x_final, _ = jax.lax.scan(fwd_step, x, stacked)
     h = layer_norm(x_final, params["norm"]["scale"], params["norm"]["bias"],
                    eps)
     return h[:, 0] @ params["head"]["w"] + params["head"]["b"]

@@ -153,6 +153,59 @@ def _gelu_grad(x):
     return phi_c + x * pdf
 
 
+def _mlp_fwd_kernel(xmid_ref, w1_ref, b1_ref, w2_ref, b2m_ref,
+                    g2_ref, b2_ref, xout_ref, *, eps: float,
+                    fast: bool, chunks: int):
+    """x_out = x_mid + gelu(LN2(x_mid)·w1+b1)·w2 + b2 in one program:
+    the [S, I] pre-GELU activations exist only as [S, I/chunks] tiles
+    in VMEM, never in HBM."""
+    I = w1_ref.shape[1]
+    cw = I // chunks
+    xm = xmid_ref[0].astype(jnp.float32)
+    g2 = g2_ref[0].astype(jnp.float32)
+    mu = jnp.mean(xm, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xm - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    h2 = (xm - mu) * inv * g2 + b2_ref[0]
+    acc = xm + b2m_ref[0]
+    for c in range(chunks):
+        w1c = w1_ref[:, c * cw:(c + 1) * cw]
+        a1c = _dot(h2, w1c, fast) + b1_ref[0, c * cw:(c + 1) * cw]
+        g = 0.5 * a1c * (1.0 + jax.lax.erf(a1c * (2.0 ** -0.5)))
+        acc = acc + _dot(g, w2_ref[c * cw:(c + 1) * cw, :], fast)
+    xout_ref[0] = acc.astype(xout_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "chunks",
+                                             "interpret", "fast_dots"))
+def mlp_block_fwd(x_mid: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                  w2: jnp.ndarray, b2: jnp.ndarray,
+                  ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+                  eps: float = 1e-6, chunks: int = 8,
+                  interpret: bool = False,
+                  fast_dots: bool = True) -> jnp.ndarray:
+    """Forward of the MLP residual branch in ONE kernel per image
+    (exact erf GELU, chunked hidden dim — see ``mlp_block_bwd``)."""
+    B, S, D = x_mid.shape
+    fast = fast_dots and not interpret
+    blk = pl.BlockSpec((1, S, D), lambda b: (b, 0, 0))
+    I = w1.shape[1]
+    c = lambda b: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_mlp_fwd_kernel, eps=eps, fast=fast,
+                          chunks=chunks),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), x_mid.dtype),
+        grid=(B,),
+        in_specs=[blk,
+                  pl.BlockSpec((D, I), c), pl.BlockSpec((1, I), c),
+                  pl.BlockSpec((I, D), c), pl.BlockSpec((1, D), c),
+                  pl.BlockSpec((1, D), c), pl.BlockSpec((1, D), c)],
+        out_specs=blk,
+        interpret=interpret,
+    )(x_mid, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+      ln_scale.reshape(1, -1), ln_bias.reshape(1, -1))
+
+
 def _mlp_bwd_kernel(xmid_ref, cot_ref, w1_ref, b1_ref, w2_ref,
                     g2_ref, b2_ref, cotmid_ref, *, eps: float,
                     fast: bool, chunks: int):

@@ -112,6 +112,8 @@ def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print,
         "fused": (vit.relevancy_fused, vit.relevancy_fused_forward_probe),
         "fused_block": (vit.relevancy_fused_block,
                         vit.relevancy_fused_block_forward_probe),
+        "fused_block2": (vit.relevancy_fused_block2,
+                         vit.relevancy_fused_block2_forward_probe),
     }[path]
 
     rows = []
@@ -226,7 +228,7 @@ def main(argv=None) -> int:
     p.add_argument("--batches", default="56,112")
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--path", default="fused",
-                   choices=["fused", "fused_block"])
+                   choices=["fused", "fused_block", "fused_block2"])
     args = p.parse_args(argv)
     run(out_path=args.out,
         batches=tuple(int(b) for b in args.batches.split(",")),
