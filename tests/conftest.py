@@ -8,6 +8,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env sets axon (tunneled TPU)
+# private compilation cache: sharing /root/.cache with concurrent chip
+# jobs/bench drives can serve a half-written AOT entry (observed SIGSEGV)
+os.environ.setdefault("TMMX_JAX_CACHE_DIR", "/tmp/tmmx_jax_cache_tests")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

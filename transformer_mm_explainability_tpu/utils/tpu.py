@@ -55,9 +55,16 @@ def ensure_tpu(retries: int = 8, wait_s: float = 30.0) -> bool:
 
 def setup_compilation_cache(path: str = "/root/.cache/tmmx_jax_cache") -> None:
     """Enable JAX's persistent compilation cache so repeated runs skip
-    the (slow, tunneled) compile step."""
+    the (slow, tunneled) compile step.
+
+    ``TMMX_JAX_CACHE_DIR`` overrides the location. The test suite sets
+    it to a private directory: concurrent writers (a chip protocol run,
+    a CPU bench drive) sharing the cache with a reader can hand the
+    reader a half-written AOT executable — observed once as a SIGSEGV
+    mid-suite in an otherwise-green test."""
     import jax
 
+    path = os.environ.get("TMMX_JAX_CACHE_DIR", path)
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
