@@ -145,10 +145,29 @@ def _bwd_kernel(x_ref, cot_ref, r_ref, wqkv_ref, bqkv_ref, wout_ref,
                    * (1.0 / nheads)).astype(e_ref.dtype)
 
 
-def _gelu_grad(x):
+def _erf(x, exact: bool):
+    """erf for the MLP kernels. Mosaic TPU has no erf primitive
+    (NotImplementedError: 'Unimplemented primitive in Pallas TPU
+    lowering for KernelType.TC: erf', observed on v5e), so the compiled
+    path (exact=False) uses the Abramowitz–Stegun 7.1.26 rational
+    approximation — |error| < 1.5e-7, i.e. fp32-exact in effect —
+    while interpret/parity mode keeps the exact primitive (the same
+    compiled-vs-interpret split ``fast_dots`` already makes)."""
+    if exact:
+        return jax.lax.erf(x)
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    sgn = jnp.where(x >= 0.0, 1.0, -1.0)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sgn * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_grad(x, exact: bool):
     """d/dx of the exact (erf-based) GELU, matching ops.attention.gelu
     (= torch.nn.GELU default): Φ(x) + x·φ(x)."""
-    phi_c = 0.5 * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+    phi_c = 0.5 * (1.0 + _erf(x * (2.0 ** -0.5), exact))
     pdf = jnp.exp(-0.5 * x * x) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
     return phi_c + x * pdf
 
@@ -171,7 +190,7 @@ def _mlp_fwd_kernel(xmid_ref, w1_ref, b1_ref, w2_ref, b2m_ref,
     for c in range(chunks):
         w1c = w1_ref[:, c * cw:(c + 1) * cw]
         a1c = _dot(h2, w1c, fast) + b1_ref[0, c * cw:(c + 1) * cw]
-        g = 0.5 * a1c * (1.0 + jax.lax.erf(a1c * (2.0 ** -0.5)))
+        g = 0.5 * a1c * (1.0 + _erf(a1c * (2.0 ** -0.5), not fast))
         acc = acc + _dot(g, w2_ref[c * cw:(c + 1) * cw, :], fast)
     xout_ref[0] = acc.astype(xout_ref.dtype)
 
@@ -232,7 +251,7 @@ def _mlp_bwd_kernel(xmid_ref, cot_ref, w1_ref, b1_ref, w2_ref,
         a1c = _dot(h2, w1c, fast) + b1_ref[0, c * cw:(c + 1) * cw]
         dgc = _dot(cot, w2_ref[c * cw:(c + 1) * cw, :], fast,
                    ((1,), (1,)))
-        dac = _gelu_grad(a1c) * dgc
+        dac = _gelu_grad(a1c, not fast) * dgc
         dh2 = dh2 + _dot(dac, w1c, fast, ((1,), (1,)))
     dxm = _ln_vjp(dh2, g2, xh, inv)
     cotmid_ref[0] = (cot + dxm).astype(cotmid_ref.dtype)
