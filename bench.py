@@ -6,13 +6,19 @@ Prints ONE JSON line:
 Baseline: the BASELINE.json north star demands ≥1,000 maps/s on a
 v5e-8 → 125 maps/s/chip. vs_baseline = value / 125.
 
-The HEADLINE number is the fp32 parity path — ``relevancy_fused``:
-one fwd (taping x_in/x_mid/pre-GELU) + one hand-rolled bwd whose
-attention backward is a fused Pallas kernel producing dQKV AND the
-rule-6 rollout-row fold in VMEM (attention probabilities never touch
-HBM). Outputs match the parity-tested ``relevancy`` to fp32 noise.
-``bf16_maps_per_sec`` (reported alongside) is the throughput mode
-(bf16 weights/activations, fp32 softmax + relevancy accumulation).
+The HEADLINE number is the fp32 parity path — ``relevancy_fused_block2``
+(ops/attn_block_pallas): each block's attention AND MLP residual
+branches run as one Pallas program per image in both directions, so
+qkv, the attention probabilities, the [S, 3072] pre-GELU activations,
+and every backward intermediate live only in VMEM — per layer HBM sees
+just the [S, D] x/x_mid tape and cotangent streams, with weights as
+grid-constant bf16 blocks. Graduated to the headline after winning the
+r05 chip A/B (docs/PERF_AB_r05.json: 1352 fp32 / 1439 bf16 maps/s at
+B=112 vs the flash-kernel path's 936/1058) and passing compiled parity
+on v5e (CHIPCHECK_r05.json, max|Δ| 5.1e-5 vs ``relevancy`` — inside
+the 1e-4 north star). ``bf16_maps_per_sec`` (reported alongside) is
+the throughput mode (bf16 weights/activations in HBM; fp32 softmax +
+relevancy accumulation in VMEM).
 
 Dispatches are pipelined (depth 3) so the tunnel round-trip overlaps
 with chip compute; every map still round-trips to the host, so this is
@@ -163,13 +169,13 @@ def main():
     cfg = vit.VIT_B_16
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
 
-    B = 56 if on_tpu else 4
+    B = 112 if on_tpu else 4
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
     targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
 
     if on_tpu:
-        fused = jax.jit(lambda p, im, tg: vit.relevancy_fused(
+        fused = jax.jit(lambda p, im, tg: vit.relevancy_fused_block2(
             p, im, tg, cfg, interpret=False))
         # ≥3 independent timed trials per dtype: the single-trial
         # headline swung ±15% across rounds (938.4 → 797.1 fp32 in
@@ -177,6 +183,10 @@ def main():
         # tunnel round-trip adds host-side jitter a single 16-iter mean
         # cannot separate from a real regression. Median is the
         # headline; min/max spread rides in the record.
+        # B=112 is the measured knee for BOTH dtypes of the block2 path
+        # (docs/PERF_AB_r05.json, docs/ROOFLINE_BLOCK2_r05.json) — with
+        # no [L,B,H,S,S] stacks and no a1 tape, HBM footprint stays
+        # small and throughput keeps rising to the VMEM-program limit.
         fp32_trials = [B / _sustained(fused, (params, images, targets),
                                       iters=16)
                        for _ in range(3)]
@@ -184,16 +194,11 @@ def main():
 
         # throughput mode: bf16 weights/activations in HBM; the Pallas
         # kernels upcast to fp32 in VMEM for softmax + relevancy
-        # accumulation (ops/flash_attention.py:81-115), so only
-        # HBM traffic and MXU operand precision change. bf16 runs at
-        # its own best batch (2B=112): the halved HBM traffic moves
-        # the throughput knee to a larger batch than fp32's
-        # (docs/ROOFLINE_r04.json — fp32 peaks at 56, bf16 at 112)
-        Bb = 2 * B
-        imb = jnp.concatenate([images, images]).astype(jnp.bfloat16)
-        tgb = jnp.concatenate([targets, targets])
+        # accumulation (ops/attn_block_pallas.py), so only HBM traffic
+        # and MXU operand precision change.
+        imb = images.astype(jnp.bfloat16)
         pb = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-        bf16_trials = [Bb / _sustained(fused, (pb, imb, tgb), iters=16)
+        bf16_trials = [B / _sustained(fused, (pb, imb, targets), iters=16)
                        for _ in range(3)]
         bf16_rate = float(np.median(bf16_trials))
     else:
@@ -205,7 +210,7 @@ def main():
 
     rec = {
         "metric": "ViT-B/16 relevancy maps/sec/chip "
-                  "(fp32 parity path, fused Pallas attn-bwd+Ê)",
+                  "(fp32 parity path, per-block fused Pallas kernels)",
         "value": round(fp32_rate, 1),
         "unit": "maps/sec/chip",
         "vs_baseline": round(fp32_rate / BASELINE_MAPS_PER_CHIP, 2),
@@ -218,7 +223,7 @@ def main():
                       round(max(bf16_trials), 1)] if bf16_trials else None),
         },
         "batch": B,
-        "batch_bf16": (2 * B) if on_tpu else None,
+        "batch_bf16": B if on_tpu else None,
         "on_tpu": bool(on_tpu),
     }
     if on_tpu:

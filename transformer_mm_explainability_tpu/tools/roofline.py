@@ -211,6 +211,12 @@ def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print,
         "bf16_mode": "bf16 weights/activations in HBM; fp32 softmax + "
                      "relevancy accumulation in VMEM (bench.py parity)",
         "peaks": {"tflops": V5E_PEAK_TFLOPS, "hbm_gbs": V5E_HBM_GBS},
+        "bwd_fraction_note": (
+            "fwd/bwd split from two scalar-readback programs; it is "
+            "meaningful only where ms_per_batch is well above the "
+            "~30 ms tunnel dispatch floor — near the floor both "
+            "programs saturate to the floor and jitter can push the "
+            "fraction to ~0 or slightly negative"),
         "flops_model": {k: round(v / 1e9, 2) for k, v in fl.items()},
         "rows": rows,
         "trace": trace_ok,
