@@ -234,6 +234,46 @@ def test_relevancy_fused_block2_matches_reference_chain():
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-5)
 
 
+def test_rational_erf_accuracy():
+    """The compiled-path erf approximation (Mosaic TPU has no erf
+    primitive) stays far inside the 1e-4 parity bar."""
+    from transformer_mm_explainability_tpu.ops.attn_block_pallas import _erf
+
+    x = jnp.asarray(np.linspace(-12, 12, 100001, dtype=np.float32))
+    err = np.abs(np.asarray(_erf(x, False))
+                 - np.asarray(jax.lax.erf(x))).max()
+    assert err < 5e-6, err
+    # saturation exactness far in the tails
+    np.testing.assert_allclose(
+        np.asarray(_erf(jnp.asarray([-30.0, 30.0]), False)), [-1.0, 1.0],
+        atol=1e-7)
+
+
+def test_block_kernels_bf16_inputs():
+    """bf16 activations through the block kernels (the bench's
+    throughput mode): fp32 math inside, outputs in bf16, matching the
+    fp32 run to bf16 rounding."""
+    from transformer_mm_explainability_tpu.ops import attn_block_pallas as ab
+
+    B, H, S, D = 2, 4, 33, 64
+    rng = np.random.RandomState(3)
+    f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    w = lambda *s: jnp.asarray(
+        rng.randn(*s).astype(np.float32) / np.sqrt(D))
+    x = f(B, S, D)
+    wqkv, bqkv, wout, bout = w(D, 3 * D), 0.1 * f(3 * D), w(D, D), 0.1 * f(D)
+    g1, b1 = 1.0 + 0.1 * f(D), 0.1 * f(D)
+    ref = np.asarray(ab.attn_block_fwd(x, wqkv, bqkv, wout, bout, g1, b1,
+                                       H, 1e-6, interpret=True,
+                                       fast_dots=False))
+    got = np.asarray(ab.attn_block_fwd(
+        x.astype(jnp.bfloat16), wqkv, bqkv, wout, bout, g1, b1,
+        H, 1e-6, interpret=True, fast_dots=False))
+    assert got.dtype == np.dtype("bfloat16") or got.dtype.name == "bfloat16"
+    np.testing.assert_allclose(got.astype(np.float32), ref,
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_relevancy_fused_block_matches_reference_chain():
     """relevancy_fused_block == relevancy_streamed_row == relevancy."""
     from transformer_mm_explainability_tpu.models import vit
