@@ -132,21 +132,13 @@ def _run_attempts():
 
 
 def _sustained(fn, args, iters: int, depth: int = 3) -> float:
-    """Pipelined host-readback timing → seconds per call."""
-    import jax
+    """Pipelined host-readback timing → seconds per call (the shared
+    methodology — ONE definition for bench/roofline/perf_ab)."""
+    from transformer_mm_explainability_tpu.utils.profiling import (
+        sustained_seconds_per_call,
+    )
 
-    np.asarray(fn(*args))  # warm / compile
-    inflight = []
-    t0 = time.time()
-    for _ in range(iters):
-        inflight.append(fn(*args))
-        if len(inflight) >= depth:
-            # full-array host readback (not a device-side reduction):
-            # every map crosses back to the host
-            np.asarray(inflight.pop(0))
-    for out in inflight:
-        np.asarray(out)
-    return (time.time() - t0) / iters
+    return sustained_seconds_per_call(fn, args, iters=iters, depth=depth)
 
 
 def main():

@@ -72,9 +72,12 @@ def evaluate(
         dense = detr_segm.unpack_mask_bits(out["masks_packed"],
                                            out["mask_hw"][1])
         dense = dense[:, :rh, :rw]
-        yi = np.clip(np.round((np.arange(H) + 0.5) * rh / H - 0.5)
+        # floor((i+0.5)·scale) == jax.image.resize 'nearest' (the path
+        # this host gather replaced); np.round(x-0.5) banker's-rounds
+        # exact-integer x down, shifting tie rows by one pixel
+        yi = np.clip(np.floor((np.arange(H) + 0.5) * rh / H)
                      .astype(np.int64), 0, rh - 1)
-        xi = np.clip(np.round((np.arange(W) + 0.5) * rw / W - 0.5)
+        xi = np.clip(np.floor((np.arange(W) + 0.5) * rw / W)
                      .astype(np.int64), 0, rw - 1)
         pred_masks = dense[:, yi[:, None], xi[None, :]][k]
         # evaluator-side GT: non-crowd AND crowd annotations (the

@@ -136,10 +136,18 @@ _masks_packed_jit = jax.jit(
         masks_from_relevancy(rel, fhw, ohw)),
     static_argnums=(1, 2))
 
-# (jit_fn, args) of the most recent heaviest relevancy program — lets
-# tools/protocol_rehearsal record a compiled-HLO memory estimate for
-# the DETR phase (the backend's allocator stats are unavailable)
+# (jit_fn, abstract args) of the most recent heaviest relevancy
+# program — lets tools/protocol_rehearsal record a compiled-HLO memory
+# estimate for the DETR phase (the backend's allocator stats are
+# unavailable). Args are stored as ShapeDtypeStructs so the probe
+# never pins live device buffers for the process lifetime.
 MEM_PROBE: Dict[str, tuple] = {}
+
+
+def _abstract(args):
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+        args)
 
 
 def explain_image(
@@ -165,12 +173,18 @@ def explain_image(
     memory headroom for larger K per pass."""
     if mesh is None:
         fwd_j = _forward_jit(cfg)
-        MEM_PROBE["detr_forward"] = (fwd_j, (params, image, pad_valid))
+        MEM_PROBE["detr_forward"] = (fwd_j,
+                                     _abstract((params, image,
+                                                pad_valid)))
         logits_d, boxes_d = fwd_j(params, image, pad_valid)
         out = {"pred_logits": logits_d[None], "pred_boxes": boxes_d[None]}
         stride = 16 if cfg.dilation else 32
-        out["feat_hw"] = (image.shape[0] // stride,
-                          image.shape[1] // stride)
+        # ceil-div: the ResNet stem/stages use SAME-style padding, so
+        # each stride-2 stage is ceil(h/2) and the composed grid is
+        # ceil(H/stride) — floor would mis-shape the relevancy grid
+        # for images whose sides are not multiples of the stride
+        out["feat_hw"] = (-(-image.shape[0] // stride),
+                          -(-image.shape[1] // stride))
     else:
         batch_valid = None if pad_valid is None else pad_valid[None]
         out = detr_model.forward(params, image[None], batch_valid, cfg)
@@ -201,7 +215,7 @@ def explain_image(
         def _gen(qs, cs):
             args = (params, image, jnp.asarray(qs), jnp.asarray(cs),
                     pad_valid)
-            MEM_PROBE["detr_generate"] = (gen_j, args)
+            MEM_PROBE["detr_generate"] = (gen_j, _abstract(args))
             return gen_j(*args)
     else:
         def _gen(qs, cs):

@@ -209,6 +209,9 @@ def mlp_block_fwd(x_mid: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     fast = fast_dots and not interpret
     blk = pl.BlockSpec((1, S, D), lambda b: (b, 0, 0))
     I = w1.shape[1]
+    assert I % chunks == 0, (
+        f"hidden dim {I} not divisible by chunks={chunks}: the chunk "
+        "loop would silently drop the tail columns")
     c = lambda b: (0, 0)
     return pl.pallas_call(
         functools.partial(_mlp_fwd_kernel, eps=eps, fast=fast,
@@ -276,6 +279,9 @@ def mlp_block_bwd(x_mid: jnp.ndarray, cot_out: jnp.ndarray,
     fast = fast_dots and not interpret
     blk = pl.BlockSpec((1, S, D), lambda b: (b, 0, 0))
     I = w1.shape[1]
+    assert I % chunks == 0, (
+        f"hidden dim {I} not divisible by chunks={chunks}: the chunk "
+        "loop would silently drop the tail columns")
     c = lambda b: (0, 0)
     return pl.pallas_call(
         functools.partial(_mlp_bwd_kernel, eps=eps, fast=fast,

@@ -82,7 +82,14 @@ def check_relevancy_kernel(interpret: bool, small: bool = False) -> bool:
                    got, want, 1e-4)
 
 
-def check_fused_vit(interpret: bool, small: bool = False) -> bool:
+def _check_fused_path(fn_name: str, label: str, interpret: bool,
+                      small: bool) -> bool:
+    """Shared scaffold for the fused ViT relevancy variants: build the
+    (optionally shrunk) config, compare the compiled variant against
+    the parity-tested ``vit.relevancy`` oracle at the shared bar —
+    full fwd+bwd fp32 reassociation noise over 12 layers, judged
+    against the <1e-4 absolute north star (atol) with the scale-free
+    relative as the secondary bound."""
     import dataclasses
 
     import jax
@@ -100,68 +107,31 @@ def check_fused_vit(interpret: bool, small: bool = False) -> bool:
     targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
     want = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))(
         params, images, targets)
-    got = jax.jit(lambda p, im, tg: vit.relevancy_fused(
+    fn = getattr(vit, fn_name)
+    got = jax.jit(lambda p, im, tg: fn(
         p, im, tg, cfg, interpret=interpret))(params, images, targets)
-    # full fwd+bwd pipeline: fp32 reassociation noise accumulates over
-    # 12 layers of recomputed A, so the bar is looser than the
-    # single-kernel checks but still far below method-level differences.
-    # atol backstop: measured on v5e 2026-08-18, max|Δ| = 4.2e-05 on
-    # maps whose own max is ~8e-3 — the parity criterion is the
-    # absolute <1e-4 north star, not the scale-free relative
-    return _report("vit.relevancy_fused (flash fwd + fused attn-bwd/Ê)",
-                   got, want, 5e-3, atol=1e-4)
+    return _report(label, got, want, 5e-3, atol=1e-4)
+
+
+def check_fused_vit(interpret: bool, small: bool = False) -> bool:
+    return _check_fused_path(
+        "relevancy_fused",
+        "vit.relevancy_fused (flash fwd + fused attn-bwd/Ê)",
+        interpret, small)
 
 
 def check_fused_vit_block(interpret: bool, small: bool = False) -> bool:
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-
-    from transformer_mm_explainability_tpu.models import vit
-
-    cfg = vit.VIT_B_16
-    if small:
-        cfg = dataclasses.replace(cfg, depth=2, num_heads=4, width=128)
-    params = vit.init_params(jax.random.PRNGKey(0), cfg)
-    rng = np.random.RandomState(1)
-    B = 1 if small else 4
-    images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
-    targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
-    want = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))(
-        params, images, targets)
-    got = jax.jit(lambda p, im, tg: vit.relevancy_fused_block(
-        p, im, tg, cfg, interpret=interpret))(params, images, targets)
-    # same bar as relevancy_fused: the <1e-4 absolute north star, with
-    # the scale-free relative as the secondary bound
-    return _report(
+    return _check_fused_path(
+        "relevancy_fused_block",
         "vit.relevancy_fused_block (layer-granular attn kernels)",
-        got, want, 5e-3, atol=1e-4)
+        interpret, small)
 
 
 def check_fused_vit_block2(interpret: bool, small: bool = False) -> bool:
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-
-    from transformer_mm_explainability_tpu.models import vit
-
-    cfg = vit.VIT_B_16
-    if small:
-        cfg = dataclasses.replace(cfg, depth=2, num_heads=4, width=128)
-    params = vit.init_params(jax.random.PRNGKey(0), cfg)
-    rng = np.random.RandomState(1)
-    B = 1 if small else 4
-    images = jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32))
-    targets = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
-    want = jax.jit(lambda p, im, tg: vit.relevancy(p, im, tg, cfg))(
-        params, images, targets)
-    got = jax.jit(lambda p, im, tg: vit.relevancy_fused_block2(
-        p, im, tg, cfg, interpret=interpret))(params, images, targets)
-    return _report(
+    return _check_fused_path(
+        "relevancy_fused_block2",
         "vit.relevancy_fused_block2 (attn+MLP kernels, no a1 tape)",
-        got, want, 5e-3, atol=1e-4)
+        interpret, small)
 
 
 def check_roi_pool(interpret: bool, small: bool = False) -> bool:

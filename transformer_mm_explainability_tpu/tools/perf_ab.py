@@ -22,18 +22,9 @@ import time
 import numpy as np
 
 
-def _sustained(fn, args, iters: int, depth: int = 3) -> float:
-    """Pipelined host-readback timing → seconds per call (bench.py)."""
-    np.asarray(fn(*args))  # warm / compile
-    inflight = []
-    t0 = time.time()
-    for _ in range(iters):
-        inflight.append(fn(*args))
-        if len(inflight) >= depth:
-            np.asarray(inflight.pop(0))
-    for out in inflight:
-        np.asarray(out)
-    return (time.time() - t0) / iters
+from transformer_mm_explainability_tpu.utils.profiling import (
+    sustained_seconds_per_call as _sustained,
+)
 
 
 def main(argv=None) -> int:

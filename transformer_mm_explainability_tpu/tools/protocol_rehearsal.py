@@ -304,11 +304,17 @@ def rehearse_lxmert(
     # grace for the first sample, which carries the (possibly cold)
     # remote compile — r4 measured up to 614 s on a cold cache
     heartbeat = [time.time() + 900]
+    # the watchdog must die with the sample loop: left running, it
+    # would hard-kill whatever comes after this phase (the DETR phase
+    # of --protocol all, the post-loop memory-analysis compile, or a
+    # test process) once 300 s pass without a heartbeat
+    watchdog_armed = [True]
 
     def _watchdog():
-        while True:
+        while watchdog_armed[0]:
             time.sleep(10)
-            if time.time() - heartbeat[0] > stall_timeout_s:
+            if (watchdog_armed[0]
+                    and time.time() - heartbeat[0] > stall_timeout_s):
                 printer(f"  STALL: no sample finished in "
                         f"{stall_timeout_s:.0f}s — exiting for relaunch")
                 sys.stdout.flush()
@@ -354,6 +360,7 @@ def rehearse_lxmert(
                            "accs_sum": accs_sum.tolist(),
                            "per_sample_ms": per_sample_ms[-2000:],
                            "compile_s": compile_s}, f)
+    watchdog_armed[0] = False  # loop done: disarm before slow epilogue
     wall = prior_wall + (_now() - t0)
     if resume_path:
         try:

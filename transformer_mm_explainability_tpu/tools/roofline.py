@@ -21,8 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 
@@ -77,19 +76,9 @@ def bytes_per_map(cfg, batch: int, dtype_bytes: int) -> Dict[str, float]:
 # measurement
 # ---------------------------------------------------------------------------
 
-def _sustained(fn, args, iters=12, depth=3) -> float:
-    outs: List = []
-    fn(*args).block_until_ready()
-    out = fn(*args)
-    float(np.asarray(out).sum())  # force tunnel readback
-    t0 = time.perf_counter()
-    for i in range(iters):
-        outs.append(fn(*args))
-        if len(outs) > depth:
-            float(np.asarray(outs.pop(0)).sum())
-    for o in outs:
-        float(np.asarray(o).sum())
-    return (time.perf_counter() - t0) / iters
+from transformer_mm_explainability_tpu.utils.profiling import (
+    sustained_seconds_per_call as _sustained,
+)
 
 
 def run(out_path=None, batches=(56, 112), trace_dir=None, printer=print,

@@ -24,10 +24,6 @@ import subprocess
 import sys
 import time
 
-SUMMARY_RE = re.compile(
-    r"(?:(\d+) failed)?(?:, )?(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?"
-    r"(?:, )?(?:(\d+) deselected)?(?:, )?(?:(\d+) error)?")
-
 
 def parse_summary(out: str):
     """Extract (passed, failed, skipped, errors) from pytest's last

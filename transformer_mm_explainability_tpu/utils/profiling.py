@@ -19,6 +19,32 @@ from typing import Iterator
 logger = logging.getLogger("tmmx")
 
 
+def sustained_seconds_per_call(fn, args, iters: int = 16,
+                               depth: int = 3) -> float:
+    """Pipelined host-readback timing → seconds per call.
+
+    THE benchmark methodology shared by bench.py, tools/roofline.py and
+    tools/perf_ab.py (one definition so the A/B lab and the headline
+    bench can never silently measure with different semantics): one
+    warm call (compile + tunnel spin-up) outside the timer, then
+    ``iters`` dispatches with ≤``depth`` in flight so the tunnel
+    round-trip overlaps chip compute — and every output still crosses
+    back to the host as a full array (``np.asarray``), making this
+    sustained end-to-end throughput, not a device-only timer."""
+    import numpy as np
+
+    np.asarray(fn(*args))  # warm / compile
+    inflight = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        inflight.append(fn(*args))
+        if len(inflight) >= depth:
+            np.asarray(inflight.pop(0))
+    for out in inflight:
+        np.asarray(out)
+    return (time.perf_counter() - t0) / iters
+
+
 @contextlib.contextmanager
 def trace(log_dir: str) -> Iterator[None]:
     """Capture a device trace for [the] block (view in TensorBoard or
