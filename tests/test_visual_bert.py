@@ -178,6 +178,41 @@ def test_visual_bert_forward_shapes():
     assert np.abs(np.asarray(grads)).sum() > 0
 
 
+def test_relevancy_row_matches_capture_chain():
+    """The streamed row-fold path == capture + generate_ours (no
+    [L, B, H, S, S] stacks), with masked padding and explained-argmax
+    target resolution both exercised."""
+    from transformer_mm_explainability_tpu.models import visual_bert as vb
+
+    cfg = vb.VisualBERTConfig(
+        bert=CFG, visual_embedding_dim=16, num_labels=7
+    )
+    params = vb.init_params(jax.random.PRNGKey(0), cfg)
+    B, S_t, N_v = 2, 8, 5
+    rng = np.random.RandomState(0)
+    im = np.ones((B, S_t), np.int32)
+    im[1, 6:] = 0  # padded text keeps the vqa pooler index per-example
+    vm = np.ones((B, N_v), np.int32)
+    vm[0, 3:] = 0
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 50, (B, S_t))),
+        "input_mask": jnp.asarray(im),
+        "visual_embeddings": jnp.asarray(
+            rng.randn(B, N_v, 16).astype(np.float32)),
+        "visual_mask": jnp.asarray(vm),
+    }
+    for targets in (None, jnp.asarray([1, 4], jnp.int32)):
+        scores_ref, attn, grads = vb.capture(params, batch, targets, cfg)
+        cls_index = batch["input_mask"].sum(axis=1) - 2
+        want = np.asarray(expl_vb.generate_ours(attn, grads, cls_index))
+        scores, got = vb.relevancy_row(params, batch, targets, cfg)
+        np.testing.assert_allclose(np.asarray(scores),
+                                   np.asarray(scores_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_method_family_shapes():
     """All capture-based methods produce [B, S] rows with CLS zeroed."""
     L, B, H, S = 3, 2, 4, 9

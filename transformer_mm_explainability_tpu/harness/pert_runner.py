@@ -96,6 +96,14 @@ class VisualBertPerturbationRunner:
 
         def explain(params, batch):
             """(scores, cam[N, S]) for the predicted answer."""
+            if method == "ours_no_lrp":
+                # streamed row-fold (models/visual_bert.relevancy_row):
+                # per-layer VJPs fold r ← r + r·Ê directly, so the
+                # [L, N, H, S, S] A/∇A stacks (2×239 MB at N=8 protocol
+                # shape) never exist — the explain step's HBM working
+                # set drops to O(N·H·S²). == capture + generate_ours
+                # (tests/test_visual_bert.py parity).
+                return vb.relevancy_row(params, batch, None, cfg)
             scores, attn, grads = vb.capture(params, batch, None, cfg)
             cls_index = batch["input_mask"].sum(axis=1) - 2
             if method in _VB_NEEDS_LRP:

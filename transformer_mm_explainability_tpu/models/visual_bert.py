@@ -239,6 +239,107 @@ def capture(
     return out["scores"], out["attn"], grads
 
 
+def relevancy_row(
+    params: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    targets: Optional[jnp.ndarray],
+    cfg: VisualBERTConfig = VISUAL_BERT_VQA2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``capture`` + ``explain.visual_bert.generate_ours`` streamed:
+    returns ``(scores, cam [B, S])`` — the CLS row of the rule-6 chain
+    — WITHOUT materialising the ``[L, B, H, S, S]`` A/∇A stacks.
+
+    Same trick as ``vit.relevancy_streamed_row``: the forward tapes
+    only per-layer block inputs; the reverse pass runs per-layer VJPs,
+    extracts that layer's (A, ∇A), and folds the row
+    ``r ← r + r·Ê_l`` in descending layer order — exactly the CLS row
+    of ``R = (I+Ê_L)···(I+Ê_1)`` that generate_ours extracts
+    (ExplanationGenerator.py:83-93 + the CLS-row read). The [S, S]
+    fold state replaces O(L·B·H·S²) of HBM, which is what makes the
+    perturbation protocol's explain step scale.
+    """
+    bcfg = cfg.bert
+    input_ids, input_mask = batch["input_ids"], batch["input_mask"]
+    x = embed(params, input_ids, batch.get("token_type_ids"),
+              batch.get("visual_embeddings"),
+              batch.get("visual_embeddings_type"), cfg,
+              image_text_alignment=batch.get("image_text_alignment"))
+    if batch.get("visual_embeddings") is not None:
+        visual_mask = batch.get("visual_mask")
+        if visual_mask is None:
+            visual_mask = jnp.ones(batch["visual_embeddings"].shape[:2],
+                                   input_mask.dtype)
+        full_mask = jnp.concatenate([input_mask, visual_mask], axis=1)
+    else:
+        full_mask = input_mask
+    mask = bert.extended_attention_mask(full_mask, x.dtype)
+    B, S, _ = x.shape
+    H, eps = bcfg.num_attention_heads, bcfg.layer_norm_eps
+    enc = params["encoder"]
+    stacked = {k: enc[k] for k in ("attn", "attn_ln", "mlp", "mlp_ln")}
+    zero_tap = jnp.zeros((B, H, S, S), x.dtype)
+
+    from transformer_mm_explainability_tpu.ops.attention import (
+        multi_head_self_attention,
+    )
+
+    def layer_fn(x, p, tap):
+        attn_out, probs = multi_head_self_attention(
+            p["attn"], x, H, mask=mask, tap=tap)
+        x1 = layer_norm(x + attn_out, p["attn_ln"]["scale"],
+                        p["attn_ln"]["bias"], eps)
+        h = gelu(x1 @ p["mlp"]["w1"] + p["mlp"]["b1"])
+        x2 = layer_norm(x1 + h @ p["mlp"]["w2"] + p["mlp"]["b2"],
+                        p["mlp_ln"]["scale"], p["mlp_ln"]["bias"], eps)
+        return x2, probs
+
+    def fwd_step(x, p):
+        x_out, _ = layer_fn(x, p, zero_tap)
+        return x_out, x
+
+    x_final, tape = jax.lax.scan(fwd_step, x, stacked)
+
+    def head_fn(hidden):
+        if cfg.pooler_strategy == "vqa":
+            idx = input_mask.sum(axis=1) - 2
+            pooled = jnp.take_along_axis(
+                hidden, idx[:, None, None], axis=1)[:, 0]
+        else:
+            pooled = jnp.tanh(hidden[:, 0] @ params["pooler"]["w"]
+                              + params["pooler"]["b"])
+        t = params["head"]["transform"]
+        hh = gelu(pooled @ t["w"] + t["b"])
+        hh = layer_norm(hh, t["ln"]["scale"], t["ln"]["bias"], eps)
+        c = params["head"]["classifier"]
+        scores = hh @ c["w"] + c["b"]
+        tt = (jnp.argmax(jax.lax.stop_gradient(scores), axis=-1)
+              if targets is None else targets)
+        s = jnp.take_along_axis(scores, tt[:, None], axis=1).sum()
+        return s, scores
+
+    cot_x, scores = jax.grad(head_fn, has_aux=True)(x_final)
+
+    def bwd_step(carry, inputs):
+        cot_x, r = carry
+        p, x_in = inputs
+        (x_out, probs), vjp = jax.vjp(
+            lambda xi, tap: layer_fn(xi, p, tap), x_in, zero_tap)
+        cot_x_in, grad_A = vjp((cot_x, jnp.zeros_like(probs)))
+        prod = grad_A.astype(jnp.float32) * probs.astype(jnp.float32)
+        e_hat = jnp.maximum(prod, 0.0).mean(axis=1)          # [B, S, S]
+        r = r + jnp.einsum("bj,bjk->bk", r, e_hat,
+                           preferred_element_type=jnp.float32)
+        return (cot_x_in, r), None
+
+    cls_index = input_mask.sum(axis=1) - 2
+    r0 = jax.nn.one_hot(cls_index, S, dtype=jnp.float32)
+    (_, r), _ = jax.lax.scan(bwd_step, (cot_x, r0), (stacked, tape),
+                             reverse=True)
+    # generate_ours' CLS-row read zeroes the CLS position itself
+    r = r * (jnp.arange(S)[None, :] != cls_index[:, None])
+    return scores, r
+
+
 # ---------------------------------------------------------------------------
 # pretraining head (VisualBERTForPretraining, visual_bert.py:156-280)
 # ---------------------------------------------------------------------------
